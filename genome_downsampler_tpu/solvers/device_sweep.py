@@ -1,0 +1,188 @@
+"""Exact MCP on device via a water-filling sweep compiled as ``lax.scan``.
+
+This is the framework's flagship TPU solver. It solves the same problem the
+reference answers with OR-Tools min-cost flow / CUDA push-relabel
+(``/root/reference/libs/qmcp-solver/src/mcp_cpu_cost_scaling_solver.cpp``,
+``quasi_mcp_cuda_max_flow_solver.cu``) but with an algorithm chosen for XLA
+semantics instead of a translated flow kernel:
+
+**Reformulated greedy.** The interval-flow LP is totally unimodular, and the
+exact unit-cost optimum is produced by the classic left-to-right greedy
+("when coverage at j falls short, select the available reads that reach
+farthest right"; proof in ``greedy_mcp.py``). The greedy never cares about
+read identity — only (start, end) counts — so its entire state compresses to
+two small count vectors indexed by *relative end offset* ``k`` (``end ==
+j + k``, ``k < L`` where ``L`` bounds the read span):
+
+- ``avail[k]``  unselected reads covering ``j`` with end ``j + k``
+- ``selend[k]`` selected reads covering ``j`` with end ``j + k``
+
+One genome position per scan step: fold in the reads starting at ``j``
+(a dense ``(n, L)`` histogram row), compute the deficit against the target,
+take from the farthest slots first (a reversed cumulative sum + clip — no
+heap), and emit ``selend[0]`` (the selected count whose reads end exactly at
+``j``) before shifting both vectors left. The emitted stream *is* the
+selected-count-per-end-position array.
+
+**Identity reconstruction.** Within an end bucket the sweep may map its
+takes to the earliest-starting reads: cumulative takes by position j never
+exceed the number of bucket reads with ``start <= j``, so the first-k-by-
+start reads were all available when counted. (Host numpy, O(R log R).)
+
+Complexity: O(n * L) work, one compiled ``lax.scan`` — no data-dependent
+convergence loop, bit-deterministic, and window-shardable (the carry at a
+window boundary is exactly the two L-vectors, which is what the distributed
+halo exchange ships between devices).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genome_downsampler_tpu.core.readbatch import ReadBatch
+from genome_downsampler_tpu.ops.coverage import capped_coverage, coverage_from_intervals
+from genome_downsampler_tpu.solvers.base import Solution, Solver
+
+DEFAULT_MAX_SPAN = 256  # static bound on read span (end - start + 1)
+
+
+def build_start_rows(
+    start: jax.Array, span: jax.Array, weight: jax.Array, n: int, max_span: int
+) -> jax.Array:
+    """Dense (n, L) histogram: rows[j, k] = # reads with start=j, span=k+1.
+
+    ``weight`` is 0 for padded slots. Reads with span > L must have been
+    rejected host-side.
+    """
+    flat = jnp.zeros(n * max_span, jnp.int32)
+    idx = start * max_span + (span - 1)
+    idx = jnp.clip(idx, 0, n * max_span - 1)
+    flat = flat.at[idx].add(weight)
+    return flat.reshape(n, max_span)
+
+
+@functools.partial(jax.jit, static_argnames=("max_span",))
+def sweep_counts(
+    add_rows: jax.Array,  # int32[n, L]
+    target: jax.Array,  # int32[n]
+    avail0: jax.Array,  # int32[L] carry-in (window halo), zeros for genome start
+    selend0: jax.Array,  # int32[L] carry-in
+    max_span: int = DEFAULT_MAX_SPAN,
+):
+    """Run the sweep; returns (sel_per_end[n], avail_out[L], selend_out[L]).
+
+    ``sel_per_end[e]`` = number of selected reads with end == e. The carry-out
+    vectors describe reads still covering positions past the window end —
+    the halo the next window to the right consumes.
+    """
+    L = max_span
+
+    def step(carry, xs):
+        avail, selend = carry
+        add_row, tgt = xs
+        avail = avail + add_row
+        cur = jnp.sum(selend)
+        deficit = jnp.maximum(tgt - cur, 0)
+        # take from the farthest end slots first
+        suffix_above = jnp.cumsum(avail[::-1])[::-1] - avail  # sum over k' > k
+        take = jnp.clip(deficit - suffix_above, 0, avail)
+        avail = avail - take
+        selend = selend + take
+        emitted = selend[0]
+        # shift left: slot k at position j becomes slot k-1 at position j+1
+        avail = jnp.concatenate([avail[1:], jnp.zeros(1, jnp.int32)])
+        selend = jnp.concatenate([selend[1:], jnp.zeros(1, jnp.int32)])
+        return (avail, selend), emitted
+
+    (avail_out, selend_out), sel_per_end = jax.lax.scan(
+        step, (avail0, selend0), (add_rows, target)
+    )
+    return sel_per_end, avail_out, selend_out
+
+
+def reconstruct_selection(
+    start: np.ndarray,
+    end: np.ndarray,
+    sel_per_end: np.ndarray,
+    prefer_quality: np.ndarray | None = None,
+) -> np.ndarray:
+    """Map per-end selected counts back to concrete read indices.
+
+    Within each end bucket, consume reads in increasing (start, index) order
+    — the only order guaranteed consistent with availability at take time.
+    ``prefer_quality`` is accepted for future quality-aware bucket interiors
+    but is currently ignored (see QmcpDeviceSweepSolver notes).
+    """
+    r = start.shape[0]
+    order = np.lexsort((np.arange(r), start, end))
+    e_sorted = end[order]
+    # rank within each end group
+    group_first = np.concatenate([[True], e_sorted[1:] != e_sorted[:-1]])
+    idx = np.arange(r)
+    first_idx = np.maximum.accumulate(np.where(group_first, idx, 0))
+    rank = idx - first_idx
+    take = sel_per_end[e_sorted] > rank
+    return np.sort(order[take]).astype(np.int64)
+
+
+class McpDeviceSweepSolver(Solver):
+    """Exact minimum-read-count solver on device (TPU flagship).
+
+    Parity: optimal objective equals the reference ``mcp-cpu`` OR-Tools
+    solution (minimum selected-read count; optima are non-unique, so read
+    sets are compared against this framework's own host oracle,
+    ``greedy_mcp.py`` — see SURVEY.md section 7 "hard parts").
+    """
+
+    uses_quality_of_reads = False
+
+    def __init__(self, max_span: int = DEFAULT_MAX_SPAN, pad_multiple: int = 4096):
+        self.max_span = max_span
+        self.pad_multiple = pad_multiple
+
+    def solve(self, max_coverage: int, batch: ReadBatch) -> Solution:
+        n = batch.ref_genome_length
+        if batch.n_reads == 0:
+            return np.zeros(0, np.int64)
+        span_host = batch.end - batch.start + 1
+        if int(span_host.max()) > self.max_span:
+            raise ValueError(
+                f"read span {int(span_host.max())} exceeds max_span={self.max_span}; "
+                "raise max_span (static) for this dataset"
+            )
+        arrays, valid = batch.padded(self.pad_multiple)
+        start = jnp.asarray(arrays["start"])
+        end = jnp.asarray(arrays["end"])
+        w = jnp.asarray(valid).astype(jnp.int32)
+
+        cov = coverage_from_intervals(start, end, n, w)
+        target = capped_coverage(cov, int(max_coverage))
+        span = end - start + 1
+        rows = build_start_rows(start, span, w, n, self.max_span)
+        zeros = jnp.zeros(self.max_span, jnp.int32)
+        sel_per_end, _, selend_out = sweep_counts(
+            rows, target, zeros, zeros, self.max_span
+        )
+        # reads end within the genome, so nothing may remain in the carry
+        sel_np = np.asarray(sel_per_end)
+        return reconstruct_selection(
+            np.asarray(batch.start, np.int64), np.asarray(batch.end, np.int64), sel_np
+        )
+
+
+class QmcpDeviceSweepSolver(McpDeviceSweepSolver):
+    """Quality-aware device solver (interim).
+
+    The reference ``qmcp-cpu`` minimizes ``sum(max_q - q_i + 1)`` exactly via
+    min-cost flow (``qmcp_cpu_cost_scaling_solver.cpp:44-49``). This interim
+    device path returns the minimum-*count* selection from the sweep (always
+    feasible, usually near-optimal in weighted cost); the exact weighted
+    optimum is available on host via ``sequential_mcmf.QmcpSequentialSolver``.
+    A device cost-scaling engine is the planned replacement.
+    """
+
+    uses_quality_of_reads = True

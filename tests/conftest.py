@@ -3,7 +3,12 @@
 Multi-chip hardware is unavailable in CI; sharding tests run over
 ``--xla_force_host_platform_device_count=8`` CPU devices, per the framework's
 multi-chip validation strategy (see also ``__graft_entry__.dryrun_multichip``).
-Must run before the first ``import jax`` anywhere in the test session.
+
+Note: the environment's sitecustomize imports jax at interpreter start (axon
+TPU registration), so setting ``JAX_PLATFORMS`` via os.environ here is too
+late — the config must be updated through the jax API as well. Tests must
+never touch the real chip: it is single-tenant and a hung/crashed test would
+wedge the whole session.
 """
 
 import os
@@ -14,3 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
