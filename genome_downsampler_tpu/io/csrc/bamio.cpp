@@ -1,0 +1,487 @@
+// Host BAM I/O library: BGZF (de)compression + BAM record streaming,
+// QNAME pairing, and pair-level filters, exposed through a C ABI for the
+// Python ctypes binding (genome_downsampler_tpu/io/bam.py).
+//
+// Re-creates the reference's htslib-backed data layer
+// (/root/reference/libs/bam-api/src/bam_api.cpp) without htslib: BGZF blocks
+// are handled directly with zlib, and the writer re-streams the input file
+// copying raw record bytes for the sorted selected line ids — the same
+// re-stream-and-copy semantics as BamApi::write_bam (bam_api.cpp:534-656),
+// which preserves header bytes, record order, and record-level bit-equality.
+//
+// Reference behaviours preserved:
+//   - ref_genome_length = length of the FIRST target sequence
+//     (bam_api.cpp:422)
+//   - end = pos + cigar-reference-length - 1 (read.cpp:11-13)
+//   - QNAME pairing keeps the first-seen mate in a map and emits (first,
+//     second) with the FREAD1 record first (bam_api.cpp:428-470); unpaired
+//     records are dropped and reported as filtered-out
+//   - pair filters: both mates need min MAPQ and min sequence length
+//     (bam_api.cpp:316-327); FILTER amplicon mode additionally requires one
+//     amplicon to fully contain both mates (amplicon_set.cpp:5-9)
+//   - GRADE mode records min/max MAPQ over accepted pairs and whether each
+//     pair sits in a single amplicon (bam_api.cpp:334-353); the quality
+//     remap itself is vectorized in Python.
+// Deliberate deviation (documented in SURVEY.md section 7 "hard parts"):
+// records that are unmapped or aligned to a contig other than the first are
+// skipped (counted filtered-out) instead of inheriting the reference's
+// out-of-bounds behaviour on multi-contig input.
+
+#include <zlib.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr int kGzipHeaderSize = 18;  // fixed BGZF member header (XLEN=6)
+constexpr size_t kMaxBlock = 0x10000;
+
+// ---------------------------------------------------------------- BGZF read
+struct BgzfReader {
+    FILE* f = nullptr;
+    std::vector<uint8_t> buf;    // decompressed current block
+    size_t pos = 0;              // cursor within buf
+    bool eof = false;
+    std::string error;
+
+    bool open(const char* path) {
+        f = std::fopen(path, "rb");
+        if (!f) { error = "cannot open input file"; return false; }
+        return true;
+    }
+    ~BgzfReader() { if (f) std::fclose(f); }
+
+    // Load and inflate the next BGZF block into buf.
+    bool next_block() {
+        uint8_t hdr[kGzipHeaderSize];
+        size_t got = std::fread(hdr, 1, sizeof hdr, f);
+        if (got == 0) { eof = true; return false; }
+        if (got < sizeof hdr || hdr[0] != 0x1f || hdr[1] != 0x8b) {
+            error = "bad BGZF block header"; return false;
+        }
+        // locate BSIZE in the extra field (SI1='B', SI2='C')
+        uint16_t xlen = hdr[10] | (hdr[11] << 8);
+        std::vector<uint8_t> extra(xlen);
+        std::memcpy(extra.data(), hdr + 12, std::min<size_t>(xlen, 6));
+        if (xlen > 6) {
+            if (std::fread(extra.data() + 6, 1, xlen - 6, f) != xlen - 6u) {
+                error = "truncated BGZF extra field"; return false;
+            }
+        }
+        int bsize = -1;
+        for (size_t i = 0; i + 4 <= extra.size();) {
+            uint8_t si1 = extra[i], si2 = extra[i + 1];
+            uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
+            if (si1 == 'B' && si2 == 'C' && slen == 2) {
+                bsize = extra[i + 4] | (extra[i + 5] << 8);
+                break;
+            }
+            i += 4 + slen;
+        }
+        if (bsize < 0) { error = "BGZF BC subfield missing"; return false; }
+        size_t cdata_len = static_cast<size_t>(bsize) + 1 - kGzipHeaderSize + 6 - xlen - 8;
+        std::vector<uint8_t> cdata(cdata_len);
+        if (std::fread(cdata.data(), 1, cdata_len, f) != cdata_len) {
+            error = "truncated BGZF block"; return false;
+        }
+        uint8_t tail[8];
+        if (std::fread(tail, 1, 8, f) != 8) { error = "truncated BGZF tail"; return false; }
+        uint32_t isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
+                         (uint32_t(tail[7]) << 24);
+        buf.resize(isize);
+        pos = 0;
+        if (isize == 0) return true;  // EOF marker block
+        z_stream zs{};
+        if (inflateInit2(&zs, -15) != Z_OK) { error = "inflateInit2 failed"; return false; }
+        zs.next_in = cdata.data();
+        zs.avail_in = static_cast<uInt>(cdata_len);
+        zs.next_out = buf.data();
+        zs.avail_out = isize;
+        int rc = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        if (rc != Z_STREAM_END) { error = "inflate failed"; return false; }
+        return true;
+    }
+
+    // Read exactly len bytes across block boundaries.
+    bool read(void* out, size_t len) {
+        uint8_t* dst = static_cast<uint8_t*>(out);
+        while (len > 0) {
+            if (pos == buf.size()) {
+                if (!next_block()) return false;
+                continue;
+            }
+            size_t take = std::min(len, buf.size() - pos);
+            std::memcpy(dst, buf.data() + pos, take);
+            pos += take;
+            dst += take;
+            len -= take;
+        }
+        return true;
+    }
+
+    // True when no bytes remain (skips empty trailing blocks).
+    bool at_end() {
+        while (pos == buf.size()) {
+            if (!next_block()) return true;
+        }
+        return false;
+    }
+};
+
+// --------------------------------------------------------------- BGZF write
+struct BgzfWriter {
+    FILE* f = nullptr;
+    std::vector<uint8_t> pend;  // pending uncompressed bytes (< 64 KiB)
+    std::string error;
+
+    bool open(const char* path) {
+        f = std::fopen(path, "wb");
+        if (!f) { error = "cannot open output file"; return false; }
+        pend.reserve(kMaxBlock);
+        return true;
+    }
+
+    bool flush_block() {
+        if (pend.empty()) return true;
+        std::vector<uint8_t> cdata(kMaxBlock + 1024);
+        z_stream zs{};
+        if (deflateInit2(&zs, Z_DEFAULT_COMPRESSION, Z_DEFLATED, -15, 8,
+                         Z_DEFAULT_STRATEGY) != Z_OK) {
+            error = "deflateInit2 failed"; return false;
+        }
+        zs.next_in = pend.data();
+        zs.avail_in = static_cast<uInt>(pend.size());
+        zs.next_out = cdata.data();
+        zs.avail_out = static_cast<uInt>(cdata.size());
+        int rc = deflate(&zs, Z_FINISH);
+        size_t clen = cdata.size() - zs.avail_out;
+        deflateEnd(&zs);
+        if (rc != Z_STREAM_END) { error = "deflate failed"; return false; }
+        uint32_t crc = crc32(0, pend.data(), static_cast<uInt>(pend.size()));
+        size_t bsize = kGzipHeaderSize + clen + 8;
+        uint8_t hdr[kGzipHeaderSize] = {
+            0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+            6, 0, 'B', 'C', 2, 0,
+            uint8_t((bsize - 1) & 0xff), uint8_t(((bsize - 1) >> 8) & 0xff)};
+        bool ok = std::fwrite(hdr, 1, sizeof hdr, f) == sizeof hdr &&
+                  std::fwrite(cdata.data(), 1, clen, f) == clen;
+        uint8_t tail[8] = {
+            uint8_t(crc & 0xff), uint8_t((crc >> 8) & 0xff),
+            uint8_t((crc >> 16) & 0xff), uint8_t((crc >> 24) & 0xff),
+            uint8_t(pend.size() & 0xff), uint8_t((pend.size() >> 8) & 0xff),
+            uint8_t((pend.size() >> 16) & 0xff), uint8_t((pend.size() >> 24) & 0xff)};
+        ok = ok && std::fwrite(tail, 1, 8, f) == 8;
+        if (!ok) { error = "write failed"; return false; }
+        pend.clear();
+        return true;
+    }
+
+    bool write(const void* data, size_t len) {
+        const uint8_t* src = static_cast<const uint8_t*>(data);
+        while (len > 0) {
+            size_t take = std::min(len, kMaxBlock - pend.size());
+            pend.insert(pend.end(), src, src + take);
+            src += take;
+            len -= take;
+            if (pend.size() == kMaxBlock && !flush_block()) return false;
+        }
+        return true;
+    }
+
+    bool close() {
+        if (!f) return true;
+        bool ok = flush_block();
+        // standard BGZF EOF marker block
+        static const uint8_t kEof[28] = {
+            0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+            0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+            0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+        ok = ok && std::fwrite(kEof, 1, sizeof kEof, f) == sizeof kEof;
+        std::fclose(f);
+        f = nullptr;
+        return ok;
+    }
+    ~BgzfWriter() { if (f) { flush_block(); std::fclose(f); } }
+};
+
+// ------------------------------------------------------------- BAM plumbing
+int32_t rd_i32(const uint8_t* p) {
+    int32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+uint16_t rd_u16(const uint8_t* p) {
+    uint16_t v;
+    std::memcpy(&v, p, 2);
+    return v;
+}
+
+// Reference-consuming length of the alignment: sum of M/D/N/=/X op lengths
+// (the htslib bam_cigar2rlen the reference calls in read.cpp:11-13).
+int64_t cigar_rlen(const uint8_t* cigar, int n_ops) {
+    int64_t rlen = 0;
+    for (int i = 0; i < n_ops; ++i) {
+        uint32_t op;
+        std::memcpy(&op, cigar + 4 * i, 4);
+        uint32_t code = op & 0xf;
+        if (code == 0 || code == 2 || code == 3 || code == 7 || code == 8)
+            rlen += op >> 4;
+    }
+    return rlen;
+}
+
+struct HeaderInfo {
+    std::vector<uint8_t> raw;          // bytes from magic through last ref
+    int64_t first_target_len = 0;
+    int32_t n_ref = 0;
+};
+
+bool read_header(BgzfReader& r, HeaderInfo& h, std::string& error) {
+    uint8_t magic[4];
+    if (!r.read(magic, 4) || std::memcmp(magic, "BAM\1", 4) != 0) {
+        error = "not a BAM file (bad magic)";
+        return false;
+    }
+    h.raw.insert(h.raw.end(), magic, magic + 4);
+    uint8_t b4[4];
+    if (!r.read(b4, 4)) { error = "truncated header"; return false; }
+    int32_t l_text = rd_i32(b4);
+    h.raw.insert(h.raw.end(), b4, b4 + 4);
+    size_t off = h.raw.size();
+    h.raw.resize(off + l_text);
+    if (!r.read(h.raw.data() + off, l_text)) { error = "truncated header text"; return false; }
+    if (!r.read(b4, 4)) { error = "truncated n_ref"; return false; }
+    h.n_ref = rd_i32(b4);
+    h.raw.insert(h.raw.end(), b4, b4 + 4);
+    for (int32_t i = 0; i < h.n_ref; ++i) {
+        if (!r.read(b4, 4)) { error = "truncated ref name len"; return false; }
+        int32_t l_name = rd_i32(b4);
+        h.raw.insert(h.raw.end(), b4, b4 + 4);
+        off = h.raw.size();
+        h.raw.resize(off + l_name + 4);
+        if (!r.read(h.raw.data() + off, l_name + 4)) { error = "truncated ref entry"; return false; }
+        if (i == 0) h.first_target_len = rd_i32(h.raw.data() + off + l_name);
+    }
+    return true;
+}
+
+struct PendingRead {
+    int64_t bam_id;
+    int64_t start, end;
+    uint32_t mapq;
+    int32_t l_seq;
+    bool is_first;
+};
+
+struct Amp {
+    int64_t start, end;
+    bool includes(int64_t s, int64_t e) const { return start <= s && e <= end; }
+};
+
+}  // namespace
+
+// ------------------------------------------------------------------- C ABI
+extern "C" {
+
+struct GdReadResult {
+    // paired SoA arrays, length n_reads (malloc'd; free with gd_free_read_result)
+    int64_t* bam_id;
+    int32_t* start;
+    int32_t* end;
+    int32_t* quality;
+    int32_t* seq_length;
+    uint8_t* is_first;
+    uint8_t* in_single_amplicon;  // only meaningful under GRADE
+    int64_t n_reads;
+    // preprocessing-rejected record line numbers
+    int64_t* filtered_out;
+    int64_t n_filtered_out;
+    int64_t ref_genome_length;   // first contig, like the reference
+    int64_t total_records;
+    int64_t min_mapq_seen;       // over accepted pairs (GRADE)
+    int64_t max_mapq_seen;
+    char error[256];
+};
+
+// amplicon_mode: 0 = IGNORE, 1 = FILTER, 2 = GRADE
+// (bam_api_config.hpp:9-16)
+int gd_read_bam(const char* path, uint32_t min_mapq, uint32_t min_len,
+                int amplicon_mode, const int64_t* amp_start,
+                const int64_t* amp_end, int64_t n_amp, GdReadResult* out) {
+    std::memset(out, 0, sizeof *out);
+    out->min_mapq_seen = INT64_MAX;
+    out->max_mapq_seen = -1;
+
+    BgzfReader r;
+    if (!r.open(path)) { std::snprintf(out->error, 256, "%s", r.error.c_str()); return 1; }
+    HeaderInfo h;
+    std::string err;
+    if (!read_header(r, h, err)) { std::snprintf(out->error, 256, "%s", err.c_str()); return 1; }
+    out->ref_genome_length = h.first_target_len;
+
+    std::vector<Amp> amps(n_amp);
+    for (int64_t i = 0; i < n_amp; ++i) amps[i] = {amp_start[i], amp_end[i]};
+    auto in_single = [&](const PendingRead& a, const PendingRead& b) {
+        for (const Amp& amp : amps)
+            if (amp.includes(a.start, a.end) && amp.includes(b.start, b.end)) return true;
+        return false;
+    };
+
+    std::vector<int64_t> v_id;
+    std::vector<int32_t> v_start, v_end, v_q, v_len;
+    std::vector<uint8_t> v_first, v_amp;
+    std::vector<uint8_t> accepted;  // per input record
+    std::unordered_map<std::string, PendingRead> pending;
+    std::vector<uint8_t> rec;
+    int64_t id = 0;
+
+    while (!r.at_end()) {
+        uint8_t b4[4];
+        if (!r.read(b4, 4)) { std::snprintf(out->error, 256, "truncated record size"); return 1; }
+        int32_t block_size = rd_i32(b4);
+        rec.resize(block_size);
+        if (!r.read(rec.data(), block_size)) {
+            std::snprintf(out->error, 256, "truncated record"); return 1;
+        }
+        accepted.push_back(0);
+
+        int32_t ref_id = rd_i32(rec.data());
+        int64_t pos = rd_i32(rec.data() + 4);
+        uint8_t l_read_name = rec[8];
+        uint8_t mapq = rec[9];
+        uint16_t n_cigar = rd_u16(rec.data() + 12);
+        uint16_t flag = rd_u16(rec.data() + 14);
+        int32_t l_seq = rd_i32(rec.data() + 16);
+        const char* qname = reinterpret_cast<const char*>(rec.data() + 32);
+        const uint8_t* cigar = rec.data() + 32 + l_read_name;
+
+        // deviation: skip unmapped / non-first-contig records (see header)
+        if (ref_id != 0 || pos < 0) { id++; continue; }
+
+        PendingRead cur{id, pos, pos + cigar_rlen(cigar, n_cigar) - 1, mapq,
+                        l_seq, (flag & 0x40) != 0};
+        std::string key(qname, l_read_name ? l_read_name - 1 : 0);
+        auto it = pending.find(key);
+        if (it == pending.end()) {
+            pending.emplace(std::move(key), cur);
+            id++;
+            continue;
+        }
+        PendingRead r1 = it->second;  // first seen stays in the map
+        PendingRead r2 = cur;
+        bool drop = r1.mapq < min_mapq || r2.mapq < min_mapq ||
+                    r1.l_seq < (int32_t)min_len || r2.l_seq < (int32_t)min_len;
+        if (amplicon_mode == 1 && !drop) drop = !in_single(r1, r2);
+        if (drop) { id++; continue; }
+
+        uint8_t amp_flag = 0;
+        if (amplicon_mode == 2) {
+            out->min_mapq_seen = std::min<int64_t>(
+                out->min_mapq_seen, std::min(r1.mapq, r2.mapq));
+            out->max_mapq_seen = std::max<int64_t>(
+                out->max_mapq_seen, std::max(r1.mapq, r2.mapq));
+            amp_flag = in_single(r1, r2) ? 1 : 0;
+        }
+        if (!r1.is_first) std::swap(r1, r2);
+        for (const PendingRead* p : {&r1, &r2}) {
+            v_id.push_back(p->bam_id);
+            v_start.push_back((int32_t)p->start);
+            v_end.push_back((int32_t)p->end);
+            v_q.push_back((int32_t)p->mapq);
+            v_len.push_back(p->l_seq);
+            v_first.push_back(p->is_first ? 1 : 0);
+            v_amp.push_back(amp_flag);
+        }
+        accepted[r1.bam_id] = 1;
+        accepted[r2.bam_id] = 1;
+        id++;
+    }
+    if (!r.error.empty()) { std::snprintf(out->error, 256, "%s", r.error.c_str()); return 1; }
+
+    out->n_reads = (int64_t)v_id.size();
+    out->total_records = id;
+    auto copy_arr = [](auto& vec, auto*& dst) {
+        using T = typename std::remove_reference_t<decltype(vec)>::value_type;
+        dst = static_cast<T*>(std::malloc(vec.size() * sizeof(T)));
+        std::memcpy(dst, vec.data(), vec.size() * sizeof(T));
+    };
+    copy_arr(v_id, out->bam_id);
+    copy_arr(v_start, out->start);
+    copy_arr(v_end, out->end);
+    copy_arr(v_q, out->quality);
+    copy_arr(v_len, out->seq_length);
+    copy_arr(v_first, out->is_first);
+    copy_arr(v_amp, out->in_single_amplicon);
+
+    std::vector<int64_t> fo;
+    for (int64_t i = 0; i < (int64_t)accepted.size(); ++i)
+        if (!accepted[i]) fo.push_back(i);
+    out->n_filtered_out = (int64_t)fo.size();
+    copy_arr(fo, out->filtered_out);
+    return 0;
+}
+
+void gd_free_read_result(GdReadResult* r) {
+    std::free(r->bam_id);
+    std::free(r->start);
+    std::free(r->end);
+    std::free(r->quality);
+    std::free(r->seq_length);
+    std::free(r->is_first);
+    std::free(r->in_single_amplicon);
+    std::free(r->filtered_out);
+    std::memset(r, 0, sizeof *r);
+}
+
+// Re-stream the input BAM into out_path copying the records whose ordinal
+// line id appears in ids (must be sorted ascending). Returns number written,
+// or -1 on error (message in err, >=256 bytes).
+int64_t gd_write_bam(const char* in_path, const char* out_path,
+                     const int64_t* ids, int64_t n_ids, char* err) {
+    err[0] = 0;
+    BgzfReader r;
+    if (!r.open(in_path)) { std::snprintf(err, 256, "%s", r.error.c_str()); return -1; }
+    HeaderInfo h;
+    std::string herr;
+    if (!read_header(r, h, herr)) { std::snprintf(err, 256, "%s", herr.c_str()); return -1; }
+
+    BgzfWriter w;
+    if (!w.open(out_path)) { std::snprintf(err, 256, "%s", w.error.c_str()); return -1; }
+    if (!w.write(h.raw.data(), h.raw.size())) {
+        std::snprintf(err, 256, "%s", w.error.c_str()); return -1;
+    }
+
+    std::vector<uint8_t> rec;
+    int64_t id = 0, cursor = 0, written = 0;
+    while (cursor < n_ids && !r.at_end()) {
+        uint8_t b4[4];
+        if (!r.read(b4, 4)) { std::snprintf(err, 256, "truncated record size"); return -1; }
+        int32_t block_size = rd_i32(b4);
+        rec.resize(block_size);
+        if (!r.read(rec.data(), block_size)) {
+            std::snprintf(err, 256, "truncated record"); return -1;
+        }
+        if (id == ids[cursor]) {
+            if (!w.write(b4, 4) || !w.write(rec.data(), block_size)) {
+                std::snprintf(err, 256, "%s", w.error.c_str()); return -1;
+            }
+            written++;
+            // skip duplicates (a bam id may appear once only, but be safe)
+            while (cursor < n_ids && ids[cursor] == id) cursor++;
+        }
+        id++;
+    }
+    if (!w.close()) { std::snprintf(err, 256, "%s", w.error.c_str()); return -1; }
+    return written;
+}
+
+}  // extern "C"

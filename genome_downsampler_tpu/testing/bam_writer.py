@@ -1,0 +1,98 @@
+"""Minimal pure-Python BAM writer for test inputs.
+
+The framework's native reader needs real BAM files to chew on and the image
+has no pysam/htslib, so tests synthesize files directly: BGZF members via raw
+zlib deflate + the BC extra subfield, records per the SAM spec section 4.2.
+Only the fields the downsampler consumes are populated meaningfully.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from genome_downsampler_tpu.core.readbatch import ReadBatch
+
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+def _bgzf_compress(data: bytes) -> bytes:
+    out = bytearray()
+    for off in range(0, len(data), 0xFF00):
+        chunk = data[off : off + 0xFF00]
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = comp.compress(chunk) + comp.flush()
+        bsize = 18 + len(cdata) + 8
+        out += struct.pack(
+            "<BBBBIBBHBBHH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6, ord("B"),
+            ord("C"), 2, bsize - 1,
+        )
+        out += cdata
+        out += struct.pack("<II", zlib.crc32(chunk) & 0xFFFFFFFF, len(chunk))
+    return bytes(out)
+
+
+def write_test_bam(
+    path: Path | str,
+    batch: ReadBatch,
+    ref_name: str = "ref1",
+    coordinate_sorted: bool = False,
+    extra_refs: list[tuple[str, int]] | None = None,
+) -> None:
+    """Write ``batch`` as a BAM file.
+
+    Each read becomes one record: qname ``p<pair_index>`` (mates share it),
+    flag ``PAIRED | READ1/READ2``, a single ``<span>M`` cigar op, and a
+    poly-A sequence of ``seq_length`` bases. ``coordinate_sorted`` reorders
+    records by position (bam line ids then differ from batch order, which is
+    what real position-sorted inputs look like).
+    """
+    text = f"@HD\tVN:1.6\n@SQ\tSN:{ref_name}\tLN:{batch.ref_genome_length}\n"
+    refs = [(ref_name, batch.ref_genome_length)] + list(extra_refs or [])
+
+    hdr = b"BAM\x01"
+    hdr += struct.pack("<i", len(text)) + text.encode()
+    hdr += struct.pack("<i", len(refs))
+    for name, ln in refs:
+        nm = name.encode() + b"\x00"
+        hdr += struct.pack("<i", len(nm)) + nm + struct.pack("<i", int(ln))
+
+    order = np.arange(batch.n_reads)
+    if coordinate_sorted:
+        order = np.argsort(batch.start, kind="stable")
+
+    body = bytearray()
+    for i in order:
+        pair_idx = int(batch.bam_id[i]) // 2
+        qname = f"p{pair_idx}".encode() + b"\x00"
+        span = int(batch.end[i]) - int(batch.start[i]) + 1
+        l_seq = int(batch.seq_length[i])
+        flag = 0x1 | (0x40 if batch.is_first[i] else 0x80)
+        cigar = struct.pack("<I", (span << 4) | 0)  # <span>M
+        seq = bytes([0x11] * ((l_seq + 1) // 2))  # poly-A nibbles
+        qual = bytes([30] * l_seq)
+        rec = struct.pack(
+            "<iiBBHHHiiii",
+            0,                       # refID
+            int(batch.start[i]),     # pos
+            len(qname),              # l_read_name
+            int(batch.quality[i]) & 0xFF,  # mapq
+            0,                       # bin
+            1,                       # n_cigar_op
+            flag,
+            l_seq,
+            0,                       # next_refID
+            int(batch.start[i ^ 1]) if batch.n_reads > (i ^ 1) else -1,
+            0,                       # tlen
+        )
+        rec += qname + cigar + seq + qual
+        body += struct.pack("<i", len(rec)) + rec
+
+    with open(path, "wb") as f:
+        f.write(_bgzf_compress(hdr + bytes(body)))
+        f.write(_BGZF_EOF)
