@@ -9,16 +9,18 @@ from __future__ import annotations
 import subprocess
 from pathlib import Path
 
-_SRC = Path(__file__).parent / "csrc" / "bamio.cpp"
+_CSRC = Path(__file__).parent / "csrc"
+_SRCS = sorted(_CSRC.glob("*.cpp"))
 _SO = Path(__file__).parent / "_bamio.so"
 
 
 def build_bamio(force: bool = False) -> Path:
-    if not force and _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+    newest_src = max(s.stat().st_mtime for s in _SRCS)
+    if not force and _SO.exists() and _SO.stat().st_mtime >= newest_src:
         return _SO
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), "-o", str(_SO), "-lz",
+        *[str(s) for s in _SRCS], "-o", str(_SO), "-lz", "-lpthread",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:

@@ -140,9 +140,22 @@ class McpDeviceSweepSolver(Solver):
 
     uses_quality_of_reads = False
 
-    def __init__(self, max_span: int = DEFAULT_MAX_SPAN, pad_multiple: int = 4096):
+    def __init__(
+        self,
+        max_span: int = DEFAULT_MAX_SPAN,
+        pad_multiple: int = 4096,
+        use_pallas: str | bool = "auto",
+    ):
         self.max_span = max_span
         self.pad_multiple = pad_multiple
+        self.use_pallas = use_pallas
+
+    def _pallas_enabled(self) -> bool:
+        if self.use_pallas == "auto":
+            from genome_downsampler_tpu.ops.pallas_sweep import tpu_available
+
+            return tpu_available()
+        return bool(self.use_pallas)
 
     def solve(self, max_coverage: int, batch: ReadBatch) -> Solution:
         n = batch.ref_genome_length
@@ -154,21 +167,33 @@ class McpDeviceSweepSolver(Solver):
                 f"read span {int(span_host.max())} exceeds max_span={self.max_span}; "
                 "raise max_span (static) for this dataset"
             )
+        use_pallas = self._pallas_enabled()
+        block = 512
+        # Pallas grid wants n to be a block multiple; extra positions carry
+        # zero target and zero reads, which the sweep ignores.
+        n_dev = -(-n // block) * block if use_pallas else n
+
         arrays, valid = batch.padded(self.pad_multiple)
         start = jnp.asarray(arrays["start"])
         end = jnp.asarray(arrays["end"])
         w = jnp.asarray(valid).astype(jnp.int32)
 
-        cov = coverage_from_intervals(start, end, n, w)
+        cov = coverage_from_intervals(start, end, n_dev, w)
         target = capped_coverage(cov, int(max_coverage))
         span = end - start + 1
-        rows = build_start_rows(start, span, w, n, self.max_span)
+        rows = build_start_rows(start, span, w, n_dev, self.max_span)
         zeros = jnp.zeros(self.max_span, jnp.int32)
-        sel_per_end, _, selend_out = sweep_counts(
-            rows, target, zeros, zeros, self.max_span
-        )
-        # reads end within the genome, so nothing may remain in the carry
-        sel_np = np.asarray(sel_per_end)
+        if use_pallas:
+            from genome_downsampler_tpu.ops.pallas_sweep import pallas_sweep_counts
+
+            sel_per_end, _, _ = pallas_sweep_counts(
+                rows, target, zeros, zeros, self.max_span, block=block
+            )
+        else:
+            sel_per_end, _, _ = sweep_counts(
+                rows, target, zeros, zeros, self.max_span
+            )
+        sel_np = np.asarray(sel_per_end)[:n]
         return reconstruct_selection(
             np.asarray(batch.start, np.int64), np.asarray(batch.end, np.int64), sel_np
         )

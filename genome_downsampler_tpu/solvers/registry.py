@@ -46,6 +46,12 @@ class SolverRegistry:
 
 
 def _make_greedy() -> Solver:
+    from genome_downsampler_tpu.solvers.native_greedy import NativeGreedyMcpSolver
+
+    return NativeGreedyMcpSolver()
+
+
+def _make_py_greedy() -> Solver:
     from genome_downsampler_tpu.solvers.greedy_mcp import GreedyMcpSolver
 
     return GreedyMcpSolver()
@@ -84,13 +90,17 @@ def _make_test() -> Solver:
 def default_registry() -> SolverRegistry:
     reg = SolverRegistry()
     # CPU-name compatibility: quasi-mcp-cpu in the reference returns *some*
-    # feasible selection via OR-Tools max-flow; the exact greedy dominates it
-    # (feasible and minimum-size), so both CPU names map to it.
+    # feasible selection via OR-Tools max-flow; the exact C++ greedy
+    # dominates it (feasible and minimum-size), so both CPU names map to it.
     reg.register("quasi-mcp-cpu", _make_greedy, uses_quality=False)
     reg.register("mcp-cpu", _make_greedy, uses_quality=False)
+    reg.register("mcp-cpu-py", _make_py_greedy, uses_quality=False)
     reg.register("qmcp-cpu", _make_qmcp_cpu, uses_quality=True)
     # TPU-native solvers (the reference's CUDA slot, re-designed for XLA).
-    reg.register("quasi-mcp-tpu", _make_quasi_tpu, uses_quality=False)
+    # quasi-mcp-tpu == mcp-tpu: the exact sweep is also the best feasible
+    # selection; the push-relabel flow engine stays available by name.
+    reg.register("quasi-mcp-tpu", _make_mcp_tpu, uses_quality=False)
+    reg.register("quasi-mcp-flow-tpu", _make_quasi_tpu, uses_quality=False)
     reg.register("mcp-tpu", _make_mcp_tpu, uses_quality=False)
     reg.register("qmcp-tpu", _make_qmcp_tpu, uses_quality=True)
     reg.register("test", _make_test, uses_quality=False)
