@@ -54,14 +54,15 @@ def _load_lib():
         lib = ctypes.CDLL(str(so))
         lib.gd_read_bam.restype = ctypes.c_int
         lib.gd_read_bam.argtypes = [
-            ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.POINTER(_GdReadResult),
         ]
         lib.gd_free_read_result.argtypes = [ctypes.POINTER(_GdReadResult)]
         lib.gd_write_bam.restype = ctypes.c_int64
         lib.gd_write_bam.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p,
         ]
         _lib = lib
@@ -93,7 +94,8 @@ def read_bam(
     res = _GdReadResult()
     with timed("read_bam"):
         rc = lib.gd_read_bam(
-            str(path).encode(), config.min_mapq, config.min_seq_length, mode,
+            str(path).encode(), config.hts_thread_count, config.min_mapq,
+            config.min_seq_length, mode,
             amp_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             amp_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(amps), ctypes.byref(res),
@@ -133,7 +135,8 @@ def read_bam(
 
 
 def write_bam(
-    in_path: Path | str, out_path: Path | str, bam_ids: np.ndarray
+    in_path: Path | str, out_path: Path | str, bam_ids: np.ndarray,
+    threads: int = 2,
 ) -> int:
     """Re-stream ``in_path`` into ``out_path`` keeping the records whose line
     ids are in ``bam_ids`` (order/header preserved; ids are sorted first like
@@ -143,7 +146,7 @@ def write_bam(
     err = ctypes.create_string_buffer(256)
     with timed("write_bam"):
         wrote = lib.gd_write_bam(
-            str(in_path).encode(), str(out_path).encode(),
+            str(in_path).encode(), str(out_path).encode(), threads,
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(ids), err,
         )
     if wrote < 0:
@@ -182,7 +185,9 @@ class BamReader:
     def write_paired_reads(self, out_path: Path | str, read_indices) -> int:
         batch = self.get_batch()
         ids = batch.bam_id[np.asarray(read_indices, np.int64)]
-        return write_bam(self.path, out_path, ids)
+        return write_bam(self.path, out_path, ids, self.config.hts_thread_count)
 
     def write_filtered_out_reads(self, out_path: Path | str) -> int:
-        return write_bam(self.path, out_path, self.filtered_out)
+        return write_bam(
+            self.path, out_path, self.filtered_out, self.config.hts_thread_count
+        )

@@ -30,6 +30,8 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <atomic>
+#include <thread>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -44,22 +46,30 @@ constexpr int kGzipHeaderSize = 18;  // fixed BGZF member header (XLEN=6)
 constexpr size_t kMaxBlock = 0x10000;
 
 // ---------------------------------------------------------------- BGZF read
+//
+// Batch-parallel: compressed blocks are read sequentially (cheap), then a
+// batch of them is inflated concurrently across `threads` std::threads —
+// the role of the htslib thread pool the reference configures with -@
+// (bam_api.cpp:386-397). Batch-synchronous keeps ordering trivial while
+// saturating cores on 64 KiB-block workloads.
 struct BgzfReader {
     FILE* f = nullptr;
-    std::vector<uint8_t> buf;    // decompressed current block
+    int threads = 1;
+    std::vector<uint8_t> buf;    // decompressed current batch
     size_t pos = 0;              // cursor within buf
     bool eof = false;
     std::string error;
 
-    bool open(const char* path) {
+    bool open(const char* path, int nthreads = 1) {
+        threads = std::max(1, nthreads);
         f = std::fopen(path, "rb");
         if (!f) { error = "cannot open input file"; return false; }
         return true;
     }
     ~BgzfReader() { if (f) std::fclose(f); }
 
-    // Load and inflate the next BGZF block into buf.
-    bool next_block() {
+    // Read one compressed block's payload; false at EOF or error.
+    bool read_raw_block(std::vector<uint8_t>& cdata, uint32_t& isize) {
         uint8_t hdr[kGzipHeaderSize];
         size_t got = std::fread(hdr, 1, sizeof hdr, f);
         if (got == 0) { eof = true; return false; }
@@ -87,26 +97,74 @@ struct BgzfReader {
         }
         if (bsize < 0) { error = "BGZF BC subfield missing"; return false; }
         size_t cdata_len = static_cast<size_t>(bsize) + 1 - kGzipHeaderSize + 6 - xlen - 8;
-        std::vector<uint8_t> cdata(cdata_len);
+        cdata.resize(cdata_len);
         if (std::fread(cdata.data(), 1, cdata_len, f) != cdata_len) {
             error = "truncated BGZF block"; return false;
         }
         uint8_t tail[8];
         if (std::fread(tail, 1, 8, f) != 8) { error = "truncated BGZF tail"; return false; }
-        uint32_t isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
-                         (uint32_t(tail[7]) << 24);
-        buf.resize(isize);
-        pos = 0;
-        if (isize == 0) return true;  // EOF marker block
+        isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
+                (uint32_t(tail[7]) << 24);
+        return true;
+    }
+
+    static bool inflate_block(const uint8_t* cdata, size_t clen, uint8_t* out,
+                              uint32_t isize) {
+        if (isize == 0) return true;
         z_stream zs{};
-        if (inflateInit2(&zs, -15) != Z_OK) { error = "inflateInit2 failed"; return false; }
-        zs.next_in = cdata.data();
-        zs.avail_in = static_cast<uInt>(cdata_len);
-        zs.next_out = buf.data();
+        if (inflateInit2(&zs, -15) != Z_OK) return false;
+        zs.next_in = const_cast<uint8_t*>(cdata);
+        zs.avail_in = static_cast<uInt>(clen);
+        zs.next_out = out;
         zs.avail_out = isize;
         int rc = inflate(&zs, Z_FINISH);
         inflateEnd(&zs);
-        if (rc != Z_STREAM_END) { error = "inflate failed"; return false; }
+        return rc == Z_STREAM_END;
+    }
+
+    // Read + inflate the next batch of blocks into buf.
+    bool next_batch() {
+        const int batch_blocks = std::max(threads * 8, 8);
+        std::vector<std::vector<uint8_t>> cdatas;
+        std::vector<uint32_t> isizes;
+        std::vector<size_t> offsets;
+        size_t total = 0;
+        for (int i = 0; i < batch_blocks; ++i) {
+            std::vector<uint8_t> cdata;
+            uint32_t isize;
+            if (!read_raw_block(cdata, isize)) {
+                if (!error.empty()) return false;
+                break;  // EOF
+            }
+            offsets.push_back(total);
+            total += isize;
+            cdatas.push_back(std::move(cdata));
+            isizes.push_back(isize);
+        }
+        if (cdatas.empty()) return false;
+        buf.resize(total);
+        pos = 0;
+        std::atomic<bool> ok{true};
+        size_t nb = cdatas.size();
+        int nt = std::min<size_t>(threads, nb);
+        if (nt <= 1) {
+            for (size_t i = 0; i < nb; ++i)
+                if (!inflate_block(cdatas[i].data(), cdatas[i].size(),
+                                   buf.data() + offsets[i], isizes[i]))
+                    ok = false;
+        } else {
+            std::vector<std::thread> pool;
+            for (int t = 0; t < nt; ++t) {
+                pool.emplace_back([&, t] {
+                    for (size_t i = t; i < nb; i += nt)
+                        if (!inflate_block(cdatas[i].data(), cdatas[i].size(),
+                                           buf.data() + offsets[i], isizes[i]))
+                            ok = false;
+                });
+            }
+            for (auto& th : pool) th.join();
+        }
+        if (!ok) { error = "inflate failed"; return false; }
         return true;
     }
 
@@ -115,7 +173,7 @@ struct BgzfReader {
         uint8_t* dst = static_cast<uint8_t*>(out);
         while (len > 0) {
             if (pos == buf.size()) {
-                if (!next_block()) return false;
+                if (!next_batch()) return false;
                 continue;
             }
             size_t take = std::min(len, buf.size() - pos);
@@ -130,75 +188,120 @@ struct BgzfReader {
     // True when no bytes remain (skips empty trailing blocks).
     bool at_end() {
         while (pos == buf.size()) {
-            if (!next_block()) return true;
+            if (!next_batch()) return true;
         }
         return false;
     }
 };
 
 // --------------------------------------------------------------- BGZF write
+//
+// Batch-parallel deflate mirroring the reader: full 64 KiB blocks queue up
+// and are compressed concurrently, then written in order.
 struct BgzfWriter {
     FILE* f = nullptr;
-    std::vector<uint8_t> pend;  // pending uncompressed bytes (< 64 KiB)
+    int threads = 1;
+    std::vector<uint8_t> pend;                 // current partial block
+    std::vector<std::vector<uint8_t>> queue_;  // full uncompressed blocks
     std::string error;
 
-    bool open(const char* path) {
+    bool open(const char* path, int nthreads = 1) {
+        threads = std::max(1, nthreads);
         f = std::fopen(path, "wb");
         if (!f) { error = "cannot open output file"; return false; }
         pend.reserve(kMaxBlock);
         return true;
     }
 
-    bool flush_block() {
-        if (pend.empty()) return true;
+    // Compress one block into a complete BGZF member.
+    static bool compress_block(const std::vector<uint8_t>& data,
+                               std::vector<uint8_t>& member) {
         std::vector<uint8_t> cdata(kMaxBlock + 1024);
         z_stream zs{};
         if (deflateInit2(&zs, Z_DEFAULT_COMPRESSION, Z_DEFLATED, -15, 8,
-                         Z_DEFAULT_STRATEGY) != Z_OK) {
-            error = "deflateInit2 failed"; return false;
-        }
-        zs.next_in = pend.data();
-        zs.avail_in = static_cast<uInt>(pend.size());
+                         Z_DEFAULT_STRATEGY) != Z_OK)
+            return false;
+        zs.next_in = const_cast<uint8_t*>(data.data());
+        zs.avail_in = static_cast<uInt>(data.size());
         zs.next_out = cdata.data();
         zs.avail_out = static_cast<uInt>(cdata.size());
         int rc = deflate(&zs, Z_FINISH);
         size_t clen = cdata.size() - zs.avail_out;
         deflateEnd(&zs);
-        if (rc != Z_STREAM_END) { error = "deflate failed"; return false; }
-        uint32_t crc = crc32(0, pend.data(), static_cast<uInt>(pend.size()));
+        if (rc != Z_STREAM_END) return false;
+        uint32_t crc = crc32(0, data.data(), static_cast<uInt>(data.size()));
         size_t bsize = kGzipHeaderSize + clen + 8;
+        member.resize(bsize);
         uint8_t hdr[kGzipHeaderSize] = {
             0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
             6, 0, 'B', 'C', 2, 0,
             uint8_t((bsize - 1) & 0xff), uint8_t(((bsize - 1) >> 8) & 0xff)};
-        bool ok = std::fwrite(hdr, 1, sizeof hdr, f) == sizeof hdr &&
-                  std::fwrite(cdata.data(), 1, clen, f) == clen;
+        std::memcpy(member.data(), hdr, sizeof hdr);
+        std::memcpy(member.data() + sizeof hdr, cdata.data(), clen);
         uint8_t tail[8] = {
             uint8_t(crc & 0xff), uint8_t((crc >> 8) & 0xff),
             uint8_t((crc >> 16) & 0xff), uint8_t((crc >> 24) & 0xff),
-            uint8_t(pend.size() & 0xff), uint8_t((pend.size() >> 8) & 0xff),
-            uint8_t((pend.size() >> 16) & 0xff), uint8_t((pend.size() >> 24) & 0xff)};
-        ok = ok && std::fwrite(tail, 1, 8, f) == 8;
-        if (!ok) { error = "write failed"; return false; }
-        pend.clear();
+            uint8_t(data.size() & 0xff), uint8_t((data.size() >> 8) & 0xff),
+            uint8_t((data.size() >> 16) & 0xff),
+            uint8_t((data.size() >> 24) & 0xff)};
+        std::memcpy(member.data() + sizeof hdr + clen, tail, 8);
+        return true;
+    }
+
+    bool flush_queue() {
+        if (queue_.empty()) return true;
+        size_t nb = queue_.size();
+        std::vector<std::vector<uint8_t>> members(nb);
+        std::atomic<bool> ok{true};
+        int nt = std::min<size_t>(threads, nb);
+        if (nt <= 1) {
+            for (size_t i = 0; i < nb; ++i)
+                if (!compress_block(queue_[i], members[i])) ok = false;
+        } else {
+            std::vector<std::thread> pool;
+            for (int t = 0; t < nt; ++t) {
+                pool.emplace_back([&, t] {
+                    for (size_t i = t; i < nb; i += nt)
+                        if (!compress_block(queue_[i], members[i])) ok = false;
+                });
+            }
+            for (auto& th : pool) th.join();
+        }
+        if (!ok) { error = "deflate failed"; return false; }
+        for (auto& m : members) {
+            if (std::fwrite(m.data(), 1, m.size(), f) != m.size()) {
+                error = "write failed"; return false;
+            }
+        }
+        queue_.clear();
         return true;
     }
 
     bool write(const void* data, size_t len) {
+        const size_t batch_blocks = std::max(threads * 8, 8);
         const uint8_t* src = static_cast<const uint8_t*>(data);
         while (len > 0) {
             size_t take = std::min(len, kMaxBlock - pend.size());
             pend.insert(pend.end(), src, src + take);
             src += take;
             len -= take;
-            if (pend.size() == kMaxBlock && !flush_block()) return false;
+            if (pend.size() == kMaxBlock) {
+                queue_.push_back(std::move(pend));
+                pend.clear();
+                pend.reserve(kMaxBlock);
+                if (queue_.size() >= batch_blocks && !flush_queue()) return false;
+            }
         }
         return true;
     }
 
     bool close() {
         if (!f) return true;
-        bool ok = flush_block();
+        if (!pend.empty()) {
+            queue_.push_back(std::move(pend));
+            pend.clear();
+        }
+        bool ok = flush_queue();
         // standard BGZF EOF marker block
         static const uint8_t kEof[28] = {
             0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
@@ -209,7 +312,7 @@ struct BgzfWriter {
         f = nullptr;
         return ok;
     }
-    ~BgzfWriter() { if (f) { flush_block(); std::fclose(f); } }
+    ~BgzfWriter() { if (f) { close(); } }
 };
 
 // ------------------------------------------------------------- BAM plumbing
@@ -314,15 +417,15 @@ struct GdReadResult {
 
 // amplicon_mode: 0 = IGNORE, 1 = FILTER, 2 = GRADE
 // (bam_api_config.hpp:9-16)
-int gd_read_bam(const char* path, uint32_t min_mapq, uint32_t min_len,
-                int amplicon_mode, const int64_t* amp_start,
+int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
+                uint32_t min_len, int amplicon_mode, const int64_t* amp_start,
                 const int64_t* amp_end, int64_t n_amp, GdReadResult* out) {
     std::memset(out, 0, sizeof *out);
     out->min_mapq_seen = INT64_MAX;
     out->max_mapq_seen = -1;
 
     BgzfReader r;
-    if (!r.open(path)) { std::snprintf(out->error, 256, "%s", r.error.c_str()); return 1; }
+    if (!r.open(path, threads)) { std::snprintf(out->error, 256, "%s", r.error.c_str()); return 1; }
     HeaderInfo h;
     std::string err;
     if (!read_header(r, h, err)) { std::snprintf(out->error, 256, "%s", err.c_str()); return 1; }
@@ -445,17 +548,17 @@ void gd_free_read_result(GdReadResult* r) {
 // Re-stream the input BAM into out_path copying the records whose ordinal
 // line id appears in ids (must be sorted ascending). Returns number written,
 // or -1 on error (message in err, >=256 bytes).
-int64_t gd_write_bam(const char* in_path, const char* out_path,
+int64_t gd_write_bam(const char* in_path, const char* out_path, int threads,
                      const int64_t* ids, int64_t n_ids, char* err) {
     err[0] = 0;
     BgzfReader r;
-    if (!r.open(in_path)) { std::snprintf(err, 256, "%s", r.error.c_str()); return -1; }
+    if (!r.open(in_path, threads)) { std::snprintf(err, 256, "%s", r.error.c_str()); return -1; }
     HeaderInfo h;
     std::string herr;
     if (!read_header(r, h, herr)) { std::snprintf(err, 256, "%s", herr.c_str()); return -1; }
 
     BgzfWriter w;
-    if (!w.open(out_path)) { std::snprintf(err, 256, "%s", w.error.c_str()); return -1; }
+    if (!w.open(out_path, threads)) { std::snprintf(err, 256, "%s", w.error.c_str()); return -1; }
     if (!w.write(h.raw.data(), h.raw.size())) {
         std::snprintf(err, 256, "%s", w.error.c_str()); return -1;
     }
