@@ -61,6 +61,9 @@ def build_parser(registry) -> argparse.ArgumentParser:
                    help="Thread count for BAM read/write.")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="Execute with additional logging.")
+    p.add_argument("--profile-dir", type=Path, default=None,
+                   help="Capture a jax.profiler trace of the solve into "
+                        "this directory (TensorBoard format).")
     return p
 
 
@@ -118,8 +121,11 @@ def run_downsample(args, registry) -> int:
     batch = reader.get_batch()
     solver = registry.get(args.algorithm)
 
+    from genome_downsampler_tpu.utils.profiling import trace
+
     start = time.perf_counter()
-    solution = solver.solve(args.max_coverage, batch)
+    with trace(args.profile_dir):
+        solution = solver.solve(args.max_coverage, batch)
     _log.debug("solve took %.6f seconds", time.perf_counter() - start)
 
     paired = batch.find_pairs(solution)
