@@ -58,6 +58,12 @@ def _make_py_greedy() -> Solver:
 
 
 def _make_qmcp_cpu() -> Solver:
+    from genome_downsampler_tpu.solvers.native_mcmf import NativeQmcpSolver
+
+    return NativeQmcpSolver()
+
+
+def _make_qmcp_lp() -> Solver:
     from genome_downsampler_tpu.solvers.sequential_mcmf import QmcpSequentialSolver
 
     return QmcpSequentialSolver()
@@ -96,6 +102,7 @@ def default_registry() -> SolverRegistry:
     reg.register("mcp-cpu", _make_greedy, uses_quality=False)
     reg.register("mcp-cpu-py", _make_py_greedy, uses_quality=False)
     reg.register("qmcp-cpu", _make_qmcp_cpu, uses_quality=True)
+    reg.register("qmcp-lp-cpu", _make_qmcp_lp, uses_quality=True)
     # TPU-native solvers (the reference's CUDA slot, re-designed for XLA).
     # quasi-mcp-tpu == mcp-tpu: the exact sweep is also the best feasible
     # selection; the push-relabel flow engine stays available by name.
