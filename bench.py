@@ -36,7 +36,33 @@ BLOCK = 512
 REPEATS = 5
 
 
+def _install_watchdog(seconds: int) -> None:
+    """The dev TPU rides an HTTP relay that occasionally stalls transfers
+    indefinitely; a stalled bench must fall back, not hang the driver."""
+    import os
+    import signal
+
+    def fire(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "downsample_reads_per_s_2M_reads_M1000",
+                    "value": 0,
+                    "unit": "reads/s",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": "device transfer stalled; relay watchdog fired"},
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, fire)
+    signal.alarm(seconds)
+
+
 def main() -> None:
+    _install_watchdog(480)
     if "--cpu" in sys.argv:
         import jax
 
@@ -118,6 +144,9 @@ def main() -> None:
     out = np.cumsum(out)[:GENOME]
     assert np.all(np.minimum(cov, M) <= out), "device selection invalid"
 
+    import signal
+
+    signal.alarm(0)
     reads_per_s = batch.n_reads / device_time
     print(
         json.dumps(
