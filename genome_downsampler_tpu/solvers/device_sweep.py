@@ -104,6 +104,37 @@ def sweep_counts(
     return sel_per_end, avail_out, selend_out
 
 
+@functools.partial(jax.jit, static_argnames=("max_span",))
+def sweep_counts_with_takes(
+    add_rows: jax.Array,  # int32[n, L]
+    target: jax.Array,  # int32[n]
+    max_span: int = DEFAULT_MAX_SPAN,
+):
+    """Sweep variant that also emits the take matrix ``takes[j, k]`` =
+    number of reads taken at position ``j`` from the bucket ending at
+    ``j + k`` — the information a quality-aware identity assignment needs
+    (memory O(n * L); used by the QMCP device solver)."""
+    L = max_span
+
+    def step(carry, xs):
+        avail, selend = carry
+        add_row, tgt = xs
+        avail = avail + add_row
+        cur = jnp.sum(selend)
+        deficit = jnp.maximum(tgt - cur, 0)
+        suffix_above = jnp.cumsum(avail[::-1])[::-1] - avail
+        take = jnp.clip(deficit - suffix_above, 0, avail)
+        avail = avail - take
+        selend = selend + take
+        avail = jnp.concatenate([avail[1:], jnp.zeros(1, jnp.int32)])
+        selend = jnp.concatenate([selend[1:], jnp.zeros(1, jnp.int32)])
+        return (avail, selend), take
+
+    zeros = jnp.zeros(L, jnp.int32)
+    _, takes = jax.lax.scan(step, (zeros, zeros), (add_rows, target))
+    return takes
+
+
 def reconstruct_selection(
     start: np.ndarray,
     end: np.ndarray,
@@ -199,15 +230,100 @@ class McpDeviceSweepSolver(Solver):
         )
 
 
+def quality_aware_assignment(
+    start: np.ndarray,
+    end: np.ndarray,
+    quality: np.ndarray,
+    takes_j: np.ndarray,  # int64[T] take positions (one entry per unit)
+    takes_e: np.ndarray,  # int64[T] absolute end bucket per take
+) -> np.ndarray:
+    """Pick concrete reads for the sweep's take events, maximizing quality.
+
+    Per end bucket, a take at position ``j`` may be served by any unused
+    bucket read with ``start <= j`` — the classic unit-jobs-with-deadlines
+    profit problem (reads sorted by quality descending, each assigned to the
+    earliest free take slot whose position is >= its start) solved with a
+    next-free-slot DSU. Selection counts (and therefore validity and the
+    minimum-count optimum) are untouched; only identities change.
+    """
+    r = len(start)
+    t = len(takes_j)
+    if t == 0:
+        return np.zeros(0, np.int64)
+    # group take slots by bucket, positions ascending
+    slot_order = np.lexsort((takes_j, takes_e))
+    slot_e = takes_e[slot_order]
+    slot_j = takes_j[slot_order]
+    bucket_first = np.searchsorted(slot_e, np.arange(slot_e.max() + 2))
+
+    # DSU "next free slot at or after index i" within each bucket
+    parent = np.arange(t + 1, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    order = np.lexsort((np.arange(r), start, -quality))
+    selected = np.zeros(r, bool)
+    for i in order:
+        e = end[i]
+        if e >= len(bucket_first) - 1:
+            continue
+        lo, hi = bucket_first[e], bucket_first[e + 1]
+        if lo == hi:
+            continue
+        # earliest slot in [lo, hi) with position >= start[i] that is free
+        first_ok = lo + np.searchsorted(slot_j[lo:hi], start[i])
+        s = find(first_ok)
+        if s < hi:
+            parent[s] = s + 1
+            selected[i] = True
+    return np.nonzero(selected)[0].astype(np.int64)
+
+
 class QmcpDeviceSweepSolver(McpDeviceSweepSolver):
-    """Quality-aware device solver (interim).
+    """Quality-preferring device solver.
 
     The reference ``qmcp-cpu`` minimizes ``sum(max_q - q_i + 1)`` exactly via
-    min-cost flow (``qmcp_cpu_cost_scaling_solver.cpp:44-49``). This interim
-    device path returns the minimum-*count* selection from the sweep (always
-    feasible, usually near-optimal in weighted cost); the exact weighted
-    optimum is available on host via ``sequential_mcmf.QmcpSequentialSolver``.
-    A device cost-scaling engine is the planned replacement.
+    min-cost flow (``qmcp_cpu_cost_scaling_solver.cpp:44-49``). This device
+    path keeps the sweep's minimum-*count* selection and assigns identities
+    to maximize total quality within it (deadline-matching per end bucket) —
+    always feasible and usually close in weighted cost; the exact weighted
+    optimum is the host ``qmcp-cpu`` (C++ MCMF).
     """
 
     uses_quality_of_reads = True
+
+    def solve(self, max_coverage: int, batch: ReadBatch) -> Solution:
+        n = batch.ref_genome_length
+        if batch.n_reads == 0:
+            return np.zeros(0, np.int64)
+        span_host = batch.end - batch.start + 1
+        if int(span_host.max()) > self.max_span:
+            raise ValueError(
+                f"read span {int(span_host.max())} exceeds max_span={self.max_span}"
+            )
+        arrays, valid = batch.padded(self.pad_multiple)
+        start = jnp.asarray(arrays["start"])
+        end = jnp.asarray(arrays["end"])
+        w = jnp.asarray(valid).astype(jnp.int32)
+        cov = coverage_from_intervals(start, end, n, w)
+        target = capped_coverage(cov, int(max_coverage))
+        span = end - start + 1
+        rows = build_start_rows(start, span, w, n, self.max_span)
+        takes = np.asarray(sweep_counts_with_takes(rows, target, self.max_span))
+        jj, kk = np.nonzero(takes)
+        counts = takes[jj, kk]
+        takes_j = np.repeat(jj, counts).astype(np.int64)
+        takes_e = np.repeat(jj + kk, counts).astype(np.int64)
+        return quality_aware_assignment(
+            np.asarray(batch.start, np.int64),
+            np.asarray(batch.end, np.int64),
+            np.asarray(batch.quality, np.int64),
+            takes_j,
+            takes_e,
+        )
