@@ -64,6 +64,10 @@ def build_parser(registry) -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", type=Path, default=None,
                    help="Capture a jax.profiler trace of the solve into "
                         "this directory (TensorBoard format).")
+    p.add_argument("--windows", type=int, default=1,
+                   help="Shard the genome into this many coordinate windows "
+                        "solved in parallel on device (mcp-tpu/quasi-mcp-tpu "
+                        "only; the result stays bit-identical to one window).")
     return p
 
 
@@ -119,7 +123,12 @@ def run_downsample(args, registry) -> int:
 
     reader = BamReader(input_path, config)
     batch = reader.get_batch()
-    solver = registry.get(args.algorithm)
+    if args.windows > 1 and args.algorithm in ("mcp-tpu", "quasi-mcp-tpu"):
+        from genome_downsampler_tpu.parallel.windows import WindowedMcpSolver
+
+        solver = WindowedMcpSolver(n_windows=args.windows)
+    else:
+        solver = registry.get(args.algorithm)
 
     from genome_downsampler_tpu.utils.profiling import trace
 
