@@ -36,6 +36,40 @@ BLOCK = 512
 REPEATS = 5
 
 
+def _orchestrate() -> None:
+    """Run the measurement in child processes: the dev TPU relay stalls
+    multi-MB transfers unpredictably, so try the TPU twice with a hard
+    timeout, then fall back to the CPU backend (clearly labeled)."""
+    import subprocess
+
+    attempts = [([], 420), ([], 420), (["--cpu"], 560)]
+    for extra, budget in attempts:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", __file__, "--worker", *extra],
+                capture_output=True,
+                text=True,
+                timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+    print(
+        json.dumps(
+            {
+                "metric": "downsample_reads_per_s_2M_reads_M1000",
+                "value": 0,
+                "unit": "reads/s",
+                "vs_baseline": 0.0,
+                "detail": {"error": "all bench attempts stalled (dev relay)"},
+            }
+        )
+    )
+
+
 def _install_watchdog(seconds: int) -> None:
     """The dev TPU rides an HTTP relay that occasionally stalls transfers
     indefinitely; a stalled bench must fall back, not hang the driver."""
@@ -110,21 +144,35 @@ def main() -> None:
     if tpu_available():
         from genome_downsampler_tpu.ops.pallas_sweep import pallas_sweep_counts
 
-        def run():
-            return pallas_sweep_counts(rows, target, zeros, zeros, MAX_SPAN, BLOCK)
+        def run(r):
+            return pallas_sweep_counts(r, target, zeros, zeros, MAX_SPAN, BLOCK)
     else:
-        def run():
-            return sweep_counts(rows, target, zeros, zeros, MAX_SPAN)
+        def run(r):
+            return sweep_counts(r, target, zeros, zeros, MAX_SPAN)
 
-    sel_counts, _, _ = run()
-    sel_counts.block_until_ready()  # compile
+    # Timing notes for this dev environment: the axon relay memoizes
+    # (program, inputs) -> result persistently and acks block_until_ready
+    # before device completion, so every timed call perturbs the input with
+    # a nonce read (one extra alignment in the padded tail; negligible to
+    # the workload) and forces completion through a scalar readback.
+    import os as _os
+
+    def nonce_rows():
+        pos = int.from_bytes(_os.urandom(4), "little") % (n - 1)
+        return rows.at[pos, MAX_SPAN - 1].add(1)
+
+    sel_counts, _, _ = run(rows)
+    int(jnp.sum(sel_counts))  # compile + settle
     times = []
     for _ in range(REPEATS):
+        r = nonce_rows()
+        int(jnp.sum(r))  # materialize the perturbed input before timing
         t0 = time.perf_counter()
-        sel_counts, _, _ = run()
-        sel_counts.block_until_ready()
+        sel_counts, _, _ = run(r)
+        int(jnp.sum(sel_counts))
         times.append(time.perf_counter() - t0)
     device_time = min(times)
+    sel_counts, _, _ = run(rows)  # unperturbed result for validation
 
     sel = reconstruct_selection(
         np.asarray(batch.start, np.int64),
@@ -168,4 +216,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        main()
+    else:
+        _orchestrate()
