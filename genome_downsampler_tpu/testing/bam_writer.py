@@ -37,20 +37,26 @@ def _bgzf_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
+_CIGAR_OPS = "MIDNSHP=X"
+
+
 def write_test_bam(
     path: Path | str,
     batch: ReadBatch,
     ref_name: str = "ref1",
     coordinate_sorted: bool = False,
     extra_refs: list[tuple[str, int]] | None = None,
+    cigars: list[list[tuple[int, str]]] | None = None,
 ) -> None:
     """Write ``batch`` as a BAM file.
 
     Each read becomes one record: qname ``p<pair_index>`` (mates share it),
-    flag ``PAIRED | READ1/READ2``, a single ``<span>M`` cigar op, and a
-    poly-A sequence of ``seq_length`` bases. ``coordinate_sorted`` reorders
-    records by position (bam line ids then differ from batch order, which is
-    what real position-sorted inputs look like).
+    flag ``PAIRED | READ1/READ2``, a single ``<span>M`` cigar op (or the
+    explicit per-read ``cigars`` — lists of (length, op) with ops from
+    ``MIDNSHP=X``), and a poly-A sequence of ``seq_length`` bases.
+    ``coordinate_sorted`` reorders records by position (bam line ids then
+    differ from batch order, which is what real position-sorted inputs look
+    like).
     """
     text = f"@HD\tVN:1.6\n@SQ\tSN:{ref_name}\tLN:{batch.ref_genome_length}\n"
     refs = [(ref_name, batch.ref_genome_length)] + list(extra_refs or [])
@@ -73,7 +79,16 @@ def write_test_bam(
         span = int(batch.end[i]) - int(batch.start[i]) + 1
         l_seq = int(batch.seq_length[i])
         flag = 0x1 | (0x40 if batch.is_first[i] else 0x80)
-        cigar = struct.pack("<I", (span << 4) | 0)  # <span>M
+        if cigars is not None:
+            ops = cigars[int(i)]
+            cigar = b"".join(
+                struct.pack("<I", (ln << 4) | _CIGAR_OPS.index(op))
+                for ln, op in ops
+            )
+            n_cigar = len(ops)
+        else:
+            cigar = struct.pack("<I", (span << 4) | 0)  # <span>M
+            n_cigar = 1
         seq = bytes([0x11] * ((l_seq + 1) // 2))  # poly-A nibbles
         qual = bytes([30] * l_seq)
         rec = struct.pack(
@@ -83,7 +98,7 @@ def write_test_bam(
             len(qname),              # l_read_name
             int(batch.quality[i]) & 0xFF,  # mapq
             0,                       # bin
-            1,                       # n_cigar_op
+            n_cigar,                 # n_cigar_op
             flag,
             l_seq,
             0,                       # next_refID
