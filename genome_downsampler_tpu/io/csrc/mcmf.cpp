@@ -1,4 +1,5 @@
-// Exact quality-weighted selection (QMCP) via cost-scaling min-cost flow.
+// Exact quality-weighted selection (QMCP) via cost-scaling min-cost flow
+// with convex (piecewise-linear) arc costs.
 //
 // The production-scale exact solver for the reference's qmcp problem
 // (arc cost max_quality - quality + 1,
@@ -7,53 +8,458 @@
 // published algorithm on the interval-flow network the SURVEY derives:
 //
 //   nodes 0..n on the genome line;
-//   read arcs  start -> end+1, capacity 1, cost c_i;
+//   read arcs  start -> end+1;
 //   chain arcs i+1 -> i, large capacity, cost 0;
 //   node supplies -demand[i] from the capped-coverage difference
 //   (mcp_cpu_cost_scaling_solver.cpp:59-66 semantics).
 //
-// Selected reads = unit arcs carrying flow. Deterministic: fixed arc order,
-// FIFO active queue.
+// Three scale enablers over a textbook implementation:
+//  1. *Convex bucket arcs.* All reads sharing (start, end) collapse into a
+//     single arc whose cost is convex piecewise-linear: the k-th unit of
+//     flow costs the k-th cheapest read of the bucket (costs sorted
+//     ascending). Marginal-cost residuals make eps-optimality and
+//     push/relabel work unchanged. The SARS-scale graph drops from one arc
+//     per read (millions) to one per distinct (start, end) (tens of
+//     thousands) — every scan, push, and Dijkstra shrinks accordingly.
+//  2. *Maximal admissible pushes.* A push moves every unit whose own
+//     marginal reduced cost is negative (a prefix of the sorted segment,
+//     found by binary search) in one step.
+//  3. *Global price update* (the min-cost analogue of global relabel, as in
+//     Goldberg's CS2): Dijkstra from all deficit nodes over reverse
+//     residual arcs with lengths floor(rc/eps)+1 >= 0, lowering prices by
+//     dist*eps. Without it, excess shuttles along the zero-cost chain arcs
+//     as a random walk over n nodes and the solver stalls beyond ~50k
+//     reads.
+//
+// flows[b] = units selected from bucket b (its cheapest flows[b] reads).
+// Deterministic: fixed arc order, FIFO active queue.
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <queue>
+#include <utility>
 #include <vector>
 
 namespace {
 
-struct Graph {
-    // paired arcs: arc a and a^1 are reverses of each other
-    std::vector<int32_t> head;
-    std::vector<int64_t> resid;  // residual capacity
-    std::vector<int64_t> cost;   // scaled cost (reverse = -cost)
-    std::vector<int32_t> next;   // forward-star linked list
-    std::vector<int32_t> first;  // per node
-    void init(int32_t n_nodes, size_t n_arcs_hint) {
-        first.assign(n_nodes, -1);
-        head.reserve(2 * n_arcs_hint);
-        resid.reserve(2 * n_arcs_hint);
-        cost.reserve(2 * n_arcs_hint);
-        next.reserve(2 * n_arcs_hint);
+constexpr int64_t INF64 = INT64_MAX / 4;
+
+// Convex-cost arc solver. Arc a: u(a) -> v(a) with capacity cap(a) and
+// per-unit scaled marginal costs mc(a, k) for k in [0, cap): nondecreasing
+// in k. Flow f(a); forward residual marginal = mc(a, f), backward residual
+// marginal = -mc(a, f-1).
+struct ConvexCostScaling {
+    int32_t N = 0;
+    int32_t A = 0;  // arcs (each stored once; adjacency lists hold +/- ids)
+    std::vector<int32_t> tail, head;
+    std::vector<int64_t> cap, flow;
+    // marginal costs: cost_pool[cost_off[a] + k] * scale
+    std::vector<int64_t> cost_pool;
+    std::vector<int64_t> cost_off;
+    int64_t scale = 1;
+
+    // adjacency: entries 2a (forward direction of arc a) and 2a+1 (backward)
+    std::vector<int32_t> adj_next, adj_first;  // per node linked list
+    std::vector<int64_t> p, excess;
+    std::vector<int32_t> cur;
+    int64_t eps = 1;
+    int64_t n_pushes = 0, n_relabels = 0, n_updates = 0, n_dij_pops = 0;
+
+    void finish_graph() {
+        adj_first.assign(N, -1);
+        adj_next.assign(2 * (size_t)A, -1);
+        for (int32_t a = A - 1; a >= 0; --a) {
+            adj_next[2 * a] = adj_first[tail[a]];
+            adj_first[tail[a]] = 2 * a;
+            adj_next[2 * a + 1] = adj_first[head[a]];
+            adj_first[head[a]] = 2 * a + 1;
+        }
+        flow.assign(A, 0);
     }
-    int32_t add(int32_t u, int32_t v, int64_t cap, int64_t c) {
-        int32_t a = (int32_t)head.size();
-        head.push_back(v); resid.push_back(cap); cost.push_back(c);
-        next.push_back(first[u]); first[u] = a;
-        head.push_back(u); resid.push_back(0); cost.push_back(-c);
-        next.push_back(first[v]); first[v] = a + 1;
-        return a;
+
+    // directed residual view of adjacency entry x (x = 2a or 2a+1):
+    //   forward (x even): u=tail, v=head, residual cap-flow, marg mc(f)
+    //   backward (x odd): u=head, v=tail, residual flow, marg -mc(f-1)
+    inline int32_t arc_of(int32_t x) const { return x >> 1; }
+    inline bool is_fwd(int32_t x) const { return (x & 1) == 0; }
+    inline int32_t to_of(int32_t x) const {
+        int32_t a = x >> 1;
+        return (x & 1) ? tail[a] : head[a];
+    }
+    inline int64_t resid_of(int32_t x) const {
+        int32_t a = x >> 1;
+        return (x & 1) ? flow[a] : cap[a] - flow[a];
+    }
+    inline int64_t marg_of(int32_t x) const {
+        int32_t a = x >> 1;
+        if (cost_off[a] < 0) return 0;  // constant-zero-cost (chain) arc
+        if (x & 1) return -cost_pool[cost_off[a] + flow[a] - 1] * scale;
+        return cost_pool[cost_off[a] + flow[a]] * scale;
+    }
+    // maximal admissible push on directed entry x given dp = p[u] - p[v]:
+    // every pushed unit must individually have marginal rc < 0. Costs are
+    // sorted, so the admissible units form a prefix (forward) / suffix
+    // (backward) of the segment — found by binary search. Pushing the whole
+    // prefix keeps the reverse marginals' rc > 0, preserving eps-optimality.
+    inline int64_t adm_amount(int32_t x, int64_t dp) const {
+        int32_t a = x >> 1;
+        int64_t off = cost_off[a];
+        if (off < 0) return INF64;  // constant-zero-cost: all residual units
+        if (x & 1) {
+            // backward: rc(k) = -mc[k]*scale + dp < 0  <=>  mc[k]*scale > dp
+            // (a suffix of [0, flow) since mc is nondecreasing)
+            int64_t f = flow[a];
+            int64_t lo = 0, hi = f;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) / 2;
+                if (cost_pool[off + mid] * scale > dp) hi = mid;
+                else lo = mid + 1;
+            }
+            return f - lo;
+        }
+        // forward: units k in [flow, k1) with mc[k]*scale < -dp
+        int64_t f = flow[a], c = cap[a];
+        int64_t lo = f, hi = c;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (cost_pool[off + mid] * scale < -dp) lo = mid + 1;
+            else hi = mid;
+        }
+        return lo - f;
+    }
+
+    // Dial's bucket-queue Dijkstra state, reused across updates. Distances
+    // (and arc lengths) are clamped to DMAX; clamping only *under*estimates
+    // shortest distances, which preserves the d(u) <= d(v) + len(a)
+    // consistency that eps-optimality needs — it can only make the price
+    // decrease smaller, never wrong.
+    static constexpr int32_t DMAX = 4095;
+    std::vector<int32_t> dist_;
+    std::vector<uint8_t> done_;
+    std::vector<std::vector<int32_t>> buckets_;
+
+    void price_update() {
+        if (dist_.empty()) {
+            dist_.assign(N, INT32_MAX);
+            done_.assign(N, 0);
+            buckets_.resize(DMAX + 1);
+        }
+        int64_t n_excess = 0, n_deficit = 0;
+        for (int32_t u = 0; u < N; ++u) {
+            done_[u] = 0;
+            dist_[u] = INT32_MAX;
+            if (excess[u] < 0) {
+                dist_[u] = 0;
+                buckets_[0].push_back(u);
+                n_deficit++;
+            } else if (excess[u] > 0) {
+                n_excess++;
+            }
+        }
+        if (n_deficit == 0 || n_excess == 0) {
+            buckets_[0].clear();
+            return;
+        }
+        n_updates++;
+        // run to completion (no early exit): the final d's must satisfy
+        // d(u) <= d(v) + len(a) for *every* residual arc, which a partial
+        // Dijkstra cannot guarantee for its frontier
+        int32_t dmax = 0;
+        for (int32_t d = 0; d <= DMAX; ++d) {
+            auto& bkt = buckets_[d];
+            for (size_t bi = 0; bi < bkt.size(); ++bi) {  // bkt may grow
+                int32_t v = bkt[bi];
+                if (done_[v] || dist_[v] != d) continue;  // stale entry
+                done_[v] = 1;
+                n_dij_pops++;
+                dmax = d;
+                // incoming residual arcs of v: reverse x^1 of every
+                // adjacency entry x incident to v pointing away from v
+                for (int32_t x = adj_first[v]; x != -1; x = adj_next[x]) {
+                    int32_t xr = x ^ 1;  // directed entry (u -> v)
+                    if (resid_of(xr) <= 0) continue;
+                    int32_t u = to_of(x);  // == tail of xr
+                    if (done_[u]) continue;
+                    int64_t rc = marg_of(xr) + p[u] - p[v];
+                    int64_t len = rc >= 0 ? rc / eps + 1 : (rc + 1) / eps;
+                    int64_t nd = std::min<int64_t>(d + len, DMAX);
+                    if (nd < dist_[u]) {
+                        dist_[u] = (int32_t)nd;
+                        buckets_[nd].push_back(u);
+                    }
+                }
+            }
+            bkt.clear();
+        }
+        for (int32_t d = 0; d <= DMAX; ++d) buckets_[d].clear();
+        for (int32_t u = 0; u < N; ++u) {
+            int64_t d = done_[u] ? dist_[u] : (int64_t)dmax + 1;
+            if (d > 0) p[u] -= d * eps;
+        }
+        for (int32_t u = 0; u < N; ++u) cur[u] = adj_first[u];
+    }
+
+    bool refine_phase() {
+        // restore eps-optimality: for each arc set flow so every unit with
+        // negative marginal reduced cost is saturated and every unit with
+        // positive one is empty (costs sorted -> the split is a prefix,
+        // found by binary search)
+        for (int32_t a = 0; a < A; ++a) {
+            int64_t dp = p[tail[a]] - p[head[a]];
+            int64_t off = cost_off[a], c = cap[a];
+            if (off < 0) {  // constant-zero-cost arc
+                int64_t f_new = dp < 0 ? c : (dp > 0 ? 0 : flow[a]);
+                if (f_new != flow[a]) {
+                    int64_t delta = f_new - flow[a];
+                    excess[tail[a]] -= delta;
+                    excess[head[a]] += delta;
+                    flow[a] = f_new;
+                }
+                continue;
+            }
+            // f* = count of units with cost*scale + dp < 0
+            int64_t lo = 0, hi = c;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) / 2;
+                if (cost_pool[off + mid] * scale + dp < 0) lo = mid + 1;
+                else hi = mid;
+            }
+            int64_t f_lo = lo;  // saturate all negative-marginal units
+            // units with zero reduced marginal may keep current flow
+            int64_t f_new = std::min(std::max(flow[a], f_lo), c);
+            // but any unit with positive marginal must be empty:
+            // f_hi = count of units with cost*scale + dp <= 0
+            lo = f_lo; hi = c;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) / 2;
+                if (cost_pool[off + mid] * scale + dp <= 0) lo = mid + 1;
+                else hi = mid;
+            }
+            f_new = std::min(f_new, lo);
+            if (f_new != flow[a]) {
+                int64_t delta = f_new - flow[a];
+                excess[tail[a]] -= delta;
+                excess[head[a]] += delta;
+                flow[a] = f_new;
+            }
+        }
+        price_update();
+        std::deque<int32_t> active;
+        std::vector<uint8_t> in_q(N, 0);
+        for (int32_t u = 0; u < N; ++u)
+            if (excess[u] > 0) { active.push_back(u); in_q[u] = 1; }
+
+        const int64_t relabel_budget = 1 + N;
+        int64_t relabels = 0;
+        while (!active.empty()) {
+            int32_t u = active.front();
+            active.pop_front();
+            in_q[u] = 0;
+            while (excess[u] > 0) {
+                int32_t x = cur[u];
+                if (x == -1) {
+                    int64_t best = INT64_MIN;
+                    for (int32_t e = adj_first[u]; e != -1; e = adj_next[e])
+                        if (resid_of(e) > 0)
+                            best = std::max(best,
+                                            p[to_of(e)] - marg_of(e) - eps);
+                    if (best == INT64_MIN) return false;  // infeasible
+                    p[u] = best;
+                    cur[u] = adj_first[u];
+                    n_relabels++;
+                    if (++relabels >= relabel_budget) {
+                        price_update();
+                        relabels = 0;
+                    }
+                    continue;
+                }
+                int64_t dp = p[u] - p[to_of(x)];
+                if (resid_of(x) > 0 && marg_of(x) + dp < 0) {
+                    n_pushes++;
+                    int64_t amt = std::min(
+                        std::min(excess[u], resid_of(x)), adm_amount(x, dp));
+                    int32_t a = arc_of(x);
+                    flow[a] += is_fwd(x) ? amt : -amt;
+                    excess[u] -= amt;
+                    int32_t v = to_of(x);
+                    excess[v] += amt;
+                    if (excess[v] > 0 && !in_q[v]) {
+                        active.push_back(v);
+                        in_q[v] = 1;
+                    }
+                } else {
+                    cur[u] = adj_next[x];
+                }
+            }
+        }
+        return true;
+    }
+
+    bool run(int64_t max_scaled_cost) {
+        p.assign(N, 0);
+        cur.assign(N, 0);
+        eps = std::max<int64_t>(max_scaled_cost, 1);
+        const int64_t alpha = 16;
+        const bool stats = std::getenv("GD_MCMF_STATS") != nullptr;
+        while (true) {
+            eps = std::max<int64_t>(eps / alpha, 1);
+            for (int32_t u = 0; u < N; ++u) cur[u] = adj_first[u];
+            auto t0 = std::chrono::steady_clock::now();
+            n_pushes = n_relabels = n_updates = n_dij_pops = 0;
+            if (!refine_phase()) return false;
+            if (stats) {
+                double ms = std::chrono::duration<double, std::milli>(
+                                std::chrono::steady_clock::now() - t0)
+                                .count();
+                std::fprintf(
+                    stderr,
+                    "[mcmf] eps=%lld phase=%.0fms pushes=%lld relabels=%lld "
+                    "updates=%lld dij_pops=%lld\n",
+                    (long long)eps, ms, (long long)n_pushes,
+                    (long long)n_relabels, (long long)n_updates,
+                    (long long)n_dij_pops);
+            }
+            if (eps == 1) break;
+        }
+        return true;
     }
 };
+
+// Build + solve. Buckets: distinct (start, end) with sorted per-unit costs
+// pool[off[b] .. off[b+1]). flows[b] = selected units. Returns false on
+// invalid/infeasible input.
+bool solve_convex(
+    const int64_t* bstart, const int64_t* bend, const int64_t* off,
+    const int64_t* pool, int64_t B, int64_t n, int64_t max_coverage,
+    int64_t* flows) {
+    for (int64_t b = 0; b < B; ++b) {
+        if (bstart[b] < 0 || bend[b] >= n || bend[b] < bstart[b]) return false;
+        if (off[b + 1] <= off[b]) return false;
+        for (int64_t k = off[b]; k < off[b + 1]; ++k) {
+            if (pool[k] < 0) return false;
+            if (k > off[b] && pool[k] < pool[k - 1]) return false;  // unsorted
+        }
+    }
+
+    ConvexCostScaling s;
+    s.N = (int32_t)(n + 1);  // nodes 0..n
+    // hierarchical chain shortcuts: zero-cost arcs i+st -> i at strides
+    // 16/256/4096. Each is a composition of chain arcs with the same (zero)
+    // cost and non-binding capacity, so the optimum is unchanged — but
+    // excess now travels the coordinate line in O(log n) hops instead of
+    // one node at a time (the dominant push count otherwise)
+    std::vector<int64_t> strides;
+    for (int64_t st = 16; st < n; st *= 16) strides.push_back(st);
+    int64_t n_skip = 0;
+    for (int64_t st : strides) n_skip += n / st;
+    s.A = (int32_t)(B + n + n_skip);
+    s.scale = (int64_t)s.N;
+
+    // capped coverage -> node supplies (create_demand_function semantics,
+    // quasi_mcp_cpu_max_flow_solver.cpp:58-87), weighted by capacities
+    std::vector<int64_t> bcov(n + 2, 0);
+    int64_t total_cap = 0;
+    for (int64_t b = 0; b < B; ++b) {
+        int64_t c = off[b + 1] - off[b];
+        bcov[bstart[b] + 1] += c;
+        bcov[bend[b] + 2] -= c;
+        total_cap += c;
+    }
+    for (int64_t j = 1; j <= n; ++j) bcov[j] += bcov[j - 1];
+    for (int64_t j = 0; j <= n; ++j) bcov[j] = std::min(bcov[j], max_coverage);
+    s.excess.assign(s.N, 0);  // supply = -demand
+    s.excess[0] = bcov[1];
+    for (int64_t i = 1; i < n; ++i) s.excess[i] = -(bcov[i] - bcov[i + 1]);
+    s.excess[n] = -bcov[n];
+
+    s.tail.resize(s.A);
+    s.head.resize(s.A);
+    s.cap.resize(s.A);
+    s.cost_off.resize(s.A);
+    const int64_t chain_cap =
+        (max_coverage > 0 ? 100 * max_coverage : 1) + total_cap;
+    s.cost_pool.assign(pool, pool + off[B]);
+    int64_t max_c = 0;
+    for (int64_t b = 0; b < B; ++b) {
+        s.tail[b] = (int32_t)bstart[b];
+        s.head[b] = (int32_t)(bend[b] + 1);
+        s.cap[b] = off[b + 1] - off[b];
+        s.cost_off[b] = off[b];
+        max_c = std::max(max_c, pool[off[b + 1] - 1]);
+    }
+    // chain arcs i+1 -> i: constant zero cost (cost_off = -1 sentinel)
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t a = (int32_t)(B + i);
+        s.tail[a] = (int32_t)(i + 1);
+        s.head[a] = (int32_t)i;
+        s.cap[a] = chain_cap;
+        s.cost_off[a] = -1;
+    }
+    int64_t a_next = B + n;
+    for (int64_t st : strides)
+        for (int64_t i = 0; i + st <= n; i += st) {
+            int32_t a = (int32_t)a_next++;
+            s.tail[a] = (int32_t)(i + st);
+            s.head[a] = (int32_t)i;
+            s.cap[a] = chain_cap;
+            s.cost_off[a] = -1;
+        }
+    s.finish_graph();
+
+    if (!s.run(max_c * s.scale)) return false;
+    for (int64_t b = 0; b < B; ++b) flows[b] = s.flow[b];
+    return true;
+}
 
 }  // namespace
 
 extern "C" {
 
-// Returns selected count (>=0) with *out_sel = malloc'd ascending indices,
-// or -1 on error. cost[] are per-read arc costs (int64, >= 0).
+// Convex bucket interface: buckets = distinct (start, end); pool holds each
+// bucket's per-unit costs sorted ascending, segmented by off (size B+1).
+// flows[b] (caller-allocated) gets the number of selected units (the
+// bucket's cheapest). Returns 0, or -1 on error.
+int64_t gd_qmcp_mcmf_convex(
+    const int64_t* bstart, const int64_t* bend, const int64_t* off,
+    const int64_t* pool, int64_t B, int64_t n, int64_t max_coverage,
+    int64_t* flows) {
+    if (B == 0) return 0;
+    return solve_convex(bstart, bend, off, pool, B, n, max_coverage, flows)
+               ? 0
+               : -1;
+}
+
+// Capacitated bucket interface (kept for compatibility/tests): one cost per
+// bucket. flows[i] gets selected units on bucket arc i.
+int64_t gd_qmcp_mcmf_flows(
+    const int64_t* start, const int64_t* end, const int64_t* cost_in,
+    const int64_t* cap_in, int64_t A, int64_t n, int64_t max_coverage,
+    int64_t* flows) {
+    if (A == 0) return 0;
+    // expand to the convex interface: each bucket's pool = cap copies of
+    // its cost (already "sorted")
+    std::vector<int64_t> off(A + 1, 0);
+    for (int64_t i = 0; i < A; ++i) {
+        if (cap_in[i] <= 0) return -1;
+        off[i + 1] = off[i] + cap_in[i];
+    }
+    std::vector<int64_t> pool(off[A]);
+    for (int64_t i = 0; i < A; ++i)
+        std::fill(pool.begin() + off[i], pool.begin() + off[i + 1],
+                  cost_in[i]);
+    return solve_convex(start, end, off.data(), pool.data(), A, n,
+                        max_coverage, flows)
+               ? 0
+               : -1;
+}
+
+// Per-read interface (kept for compatibility): returns selected count
+// (>=0) with *out_sel = malloc'd ascending indices, or -1 on error.
 int64_t gd_qmcp_mcmf(
     const int64_t* start, const int64_t* end, const int64_t* cost_in,
     int64_t R, int64_t n, int64_t max_coverage, int64_t** out_sel) {
@@ -62,117 +468,16 @@ int64_t gd_qmcp_mcmf(
         *out_sel = static_cast<int64_t*>(std::malloc(1));
         return 0;
     }
-    for (int64_t i = 0; i < R; ++i)
-        if (start[i] < 0 || end[i] >= n || end[i] < start[i]) return -1;
-
-    const int32_t N = (int32_t)(n + 1);  // nodes 0..n
-
-    // capped coverage -> demands d[0..n] (create_demand_function semantics)
-    std::vector<int64_t> b(n + 2, 0);
-    for (int64_t i = 0; i < R; ++i) { b[start[i] + 1]++; b[end[i] + 2]--; }
-    for (int64_t j = 1; j <= n; ++j) b[j] += b[j - 1];  // b[j+1]=cov(j)... b is now prefix
-    for (int64_t j = 0; j <= n; ++j) b[j] = std::min(b[j], max_coverage);
-    std::vector<int64_t> supply(N, 0);  // supply = -demand
-    // d[0] = -b[1]; d[i] = b[i]-b[i+1] (1<=i<=n-1); d[n] = b[n]
-    supply[0] = b[1];
-    for (int64_t i = 1; i < n; ++i) supply[i] = -(b[i] - b[i + 1]);
-    supply[n] = -b[n];
-
-    // scaled costs: multiply by N so that 1-optimality ends exact
-    Graph g;
-    g.init(N, (size_t)R + n);
-    std::vector<int32_t> read_arc(R);
-    int64_t max_c = 0;
-    for (int64_t i = 0; i < R; ++i) max_c = std::max(max_c, cost_in[i]);
-    for (int64_t i = 0; i < R; ++i)
-        read_arc[i] = g.add((int32_t)start[i], (int32_t)(end[i] + 1), 1,
-                            cost_in[i] * N);
-    const int64_t chain_cap = (max_coverage > 0 ? 100 * max_coverage : 1) + R;
-    for (int64_t i = 0; i < n; ++i)
-        g.add((int32_t)(i + 1), (int32_t)i, chain_cap, 0);
-
-    std::vector<int64_t> p(N, 0);       // prices
-    std::vector<int64_t> excess(supply);
-    std::vector<int32_t> cur(N);        // current-arc pointers
-
-    int64_t eps = std::max<int64_t>(max_c * N, 1);
-    const int64_t alpha = 8;
-
-    auto rcost = [&](int32_t a, int32_t u) {
-        return g.cost[a] + p[u] - p[g.head[a]];
-    };
-
-    while (true) {
-        eps = std::max<int64_t>(eps / alpha, 1);
-        // saturate arcs with negative reduced cost, zero the positive ones
-        for (size_t a = 0; a < g.head.size(); a += 2) {
-            int32_t u = g.head[a ^ 1], v = g.head[a];
-            int64_t rc = g.cost[a] + p[u] - p[v];
-            int64_t cap = g.resid[a] + g.resid[a ^ 1];
-            if (rc < 0) {  // full flow
-                excess[u] -= g.resid[a];
-                excess[v] += g.resid[a];
-                g.resid[a ^ 1] = cap; g.resid[a] = 0;
-            } else if (rc > 0) {  // zero flow
-                excess[v] -= g.resid[a ^ 1];
-                excess[u] += g.resid[a ^ 1];
-                g.resid[a] = cap; g.resid[a ^ 1] = 0;
-            }
-        }
-        for (int32_t u = 0; u < N; ++u) cur[u] = g.first[u];
-        std::deque<int32_t> active;
-        std::vector<uint8_t> in_q(N, 0);
-        for (int32_t u = 0; u < N; ++u)
-            if (excess[u] > 0) { active.push_back(u); in_q[u] = 1; }
-
-        while (!active.empty()) {
-            int32_t u = active.front();
-            active.pop_front();
-            in_q[u] = 0;
-            // discharge u
-            while (excess[u] > 0) {
-                int32_t a = cur[u];
-                if (a == -1) {
-                    // relabel: p[u] = max over residual arcs of
-                    // (p[v] - cost(a) - eps)
-                    int64_t best = INT64_MIN;
-                    for (int32_t e = g.first[u]; e != -1; e = g.next[e])
-                        if (g.resid[e] > 0)
-                            best = std::max(best,
-                                            p[g.head[e]] - g.cost[e] - eps);
-                    if (best == INT64_MIN) {
-                        // no residual arc: infeasible input
-                        return -1;
-                    }
-                    p[u] = best;
-                    cur[u] = g.first[u];
-                    continue;
-                }
-                if (g.resid[a] > 0 && rcost(a, u) < 0) {
-                    int64_t amt = std::min(excess[u], g.resid[a]);
-                    g.resid[a] -= amt;
-                    g.resid[a ^ 1] += amt;
-                    excess[u] -= amt;
-                    int32_t v = g.head[a];
-                    excess[v] += amt;
-                    if (excess[v] > 0 && !in_q[v]) {
-                        active.push_back(v);
-                        in_q[v] = 1;
-                    }
-                } else {
-                    cur[u] = g.next[a];
-                }
-            }
-        }
-        if (eps == 1) break;
-    }
-
+    std::vector<int64_t> caps(R, 1), flows(R, 0);
+    if (gd_qmcp_mcmf_flows(start, end, cost_in, caps.data(), R, n,
+                           max_coverage, flows.data()) != 0)
+        return -1;
     std::vector<int64_t> sel;
     sel.reserve(R / 4);
     for (int64_t i = 0; i < R; ++i)
-        if (g.resid[read_arc[i]] == 0) sel.push_back(i);
-    int64_t* out = static_cast<int64_t*>(
-        std::malloc(sizeof(int64_t) * std::max<int64_t>((int64_t)sel.size(), 1)));
+        if (flows[i] > 0) sel.push_back(i);
+    int64_t* out = static_cast<int64_t*>(std::malloc(
+        sizeof(int64_t) * std::max<int64_t>((int64_t)sel.size(), 1)));
     std::memcpy(out, sel.data(), sel.size() * sizeof(int64_t));
     *out_sel = out;
     return (int64_t)sel.size();

@@ -1,0 +1,335 @@
+"""Blocked multi-window Pallas sweep: the large-genome device path.
+
+The baseline device path materializes a dense ``(n, L)`` read-start
+histogram (``solvers/device_sweep.build_start_rows``) — 5 GB at E. coli
+scale (n = 5 Mb, L = 256) and impossible at chr1 scale. This kernel removes
+the dense array entirely:
+
+- **HBM holds O(R) read codes, not O(n*L).** Reads are bucketed host-side
+  by (window, block) into a padded code array; a code packs
+  ``start_rel * L + (span - 1)`` into one int32. Sentinel ``-1`` pads.
+- **The histogram tile is built in-kernel on the MXU.** For each grid step
+  a ``(B, L)`` tile per window is accumulated as ``onehot(start_rel)^T @
+  onehot(span)`` over chunks of codes — a one-hot matmul, the canonical TPU
+  scatter. f32 accumulation is exact below 2^24 counts per cell.
+- **W genome windows ride the sublane axis.** The sweep carry for one
+  window is two ``(1, L)`` vectors that leave 7 of 8 sublanes idle; packing
+  W=8 windows gives an ``(8, L)`` state with the *same* vector-register
+  footprint, so all eight windows advance in one chain of VPU ops —
+  8x position throughput per pass.
+- **Windows couple only through the boundary carry**, solved by Jacobi
+  fixed-point relaxation exactly as ``parallel/windows.py``: each round
+  seeds window ``w`` with window ``w-1``'s carry-out from the previous
+  round; window 0 is exact immediately, so exactness propagates at least
+  one window per round and the loop stops when carries stabilize. At the
+  fixed point the selection is bit-identical to the global sequential
+  sweep.
+
+Parity note: this is the scaling replacement for the reference's CUDA
+push-relabel solver (``/root/reference/libs/qmcp-solver/src/
+quasi_mcp_cuda_max_flow_solver.cu``), whose CSR graph is likewise O(R + n)
+— but where that kernel iterates to convergence with atomics, this one is a
+single deterministic sweep per relaxation round.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genome_downsampler_tpu.ops.pallas_sweep import _lane_cumsum
+
+
+def pack_blocked(
+    start: np.ndarray,
+    end: np.ndarray,
+    n: int,
+    n_windows: int,
+    block: int,
+    max_span: int,
+    cap_multiple: int = 256,
+):
+    """Bucket reads into per-(block, window) padded code lists (host side).
+
+    Returns ``(packed[nbw, W, cap], counts[nbw, W], win, n_pad)`` where
+    ``win = nbw * block`` is the per-window length and ``n_pad = W * win``.
+    ``packed[t, w, s]`` holds ``start_rel * L + (span - 1)`` for the s-th
+    read whose start lies in block ``t`` of window ``w``; ``-1`` pads.
+    (Lane axis = cap, a 128-multiple: the natural VMEM tiling.)
+    """
+    W, B, L = n_windows, block, max_span
+    win = -(-n // W)
+    win = -(-win // B) * B
+    nbw = win // B
+    n_pad = W * win
+
+    start = np.asarray(start, np.int64)
+    end = np.asarray(end, np.int64)
+    span = end - start + 1
+    if span.size and int(span.max()) > L:
+        raise ValueError(f"read span {int(span.max())} exceeds max_span={L}")
+
+    w_id = start // win
+    t_id = (start % win) // B
+    start_rel = start % B
+    code = (start_rel * L + (span - 1)).astype(np.int32)
+
+    group = t_id * W + w_id  # group key in (t, w) order
+    order = np.argsort(group, kind="stable")
+    g_sorted = group[order]
+    counts_flat = np.bincount(g_sorted, minlength=nbw * W).astype(np.int32)
+    cap = int(counts_flat.max()) if counts_flat.size else 0
+    cap = max(cap_multiple, -(-cap // cap_multiple) * cap_multiple)
+
+    # rank of each read within its group
+    group_starts = np.zeros(nbw * W + 1, np.int64)
+    np.cumsum(counts_flat, out=group_starts[1:])
+    rank = np.arange(start.size, dtype=np.int64) - group_starts[g_sorted]
+
+    packed = np.full((nbw, W, cap), -1, np.int32)
+    t_s = g_sorted // W
+    w_s = g_sorted % W
+    packed[t_s, w_s, rank] = code[order]
+    counts = counts_flat.reshape(nbw, W)
+    return packed, counts, win, n_pad
+
+
+def _blocked_kernel(
+    counts_ref,   # int32[nbw, W] SMEM (scalar prefetch) — codes per (block, window)
+    packed_ref,   # int32[1, W, cap] VMEM — read codes
+    target_ref,   # int32[B, W]   VMEM — capped coverage targets (transposed:
+                  #   dynamic per-position access must ride the sublane axis)
+    avail0_ref,   # int32[W, L]   VMEM — carry-in (relaxation round seed)
+    selend0_ref,  # int32[W, L]   VMEM
+    out_ref,      # int32[B, W]   VMEM — selected count per end position (transposed)
+    availf_ref,   # int32[W, L]   VMEM — carry-out
+    selendf_ref,  # int32[W, L]   VMEM
+    tile_s,       # f32[W, B, L]  VMEM scratch — per-window histogram tile
+    avail_s,      # int32[W, L]   VMEM scratch — state between grid steps
+    selend_s,     # int32[W, L]   VMEM scratch
+    *,
+    block: int,
+    chunk: int,
+):
+    t = pl.program_id(0)
+    nb = pl.num_programs(0)
+    W, B, L = tile_s.shape
+    C = chunk
+
+    @pl.when(t == 0)
+    def _():
+        avail_s[:] = avail0_ref[:]
+        selend_s[:] = selend0_ref[:]
+
+    # --- build this block's (B, L) histogram tile per window (MXU) ---
+    # codes live on the lane axis; the two one-hots compare a broadcast
+    # (1, C) code row against sublane iotas, then contract over C
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
+    for w in range(W):  # static unroll
+        cnt = counts_ref[t, w]
+        nch = (cnt + C - 1) // C
+
+        def chunk_body(j, _, w=w):
+            codes = packed_ref[0, w : w + 1, pl.ds(j * C, C)]  # (1, C) int32
+            # sentinel -1: -1 // L == -1 matches no row
+            a = (codes // L == row_b).astype(jnp.float32)  # (B, C)
+            bm = (codes % L == row_l).astype(jnp.float32)  # (L, C)
+            part = jax.lax.dot_general(
+                a,
+                bm,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(j == 0)
+            def _():
+                tile_s[w] = part
+
+            @pl.when(j > 0)
+            def _():
+                tile_s[w] = tile_s[w] + part
+
+            return 0
+
+        @pl.when(nch == 0)
+        def _(w=w):
+            tile_s[w] = jnp.zeros((B, L), jnp.float32)
+
+        jax.lax.fori_loop(0, nch, chunk_body, 0)
+
+    # --- the water-filling sweep over B positions, all W windows at once ---
+    zero_last = (
+        jax.lax.broadcasted_iota(jnp.int32, (W, L), 1) < L - 1
+    ).astype(jnp.int32)
+    # (W, W) identity mask: Mosaic has no dynamic lane indexing, so the
+    # per-position target row (1, W) / emitted column (W, 1) are transposed
+    # with a diagonal-mask reduce (3 tiny VPU ops) instead
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    )
+
+    def body(i, carry):
+        avail_in, selend = carry
+        add = tile_s[:, pl.ds(i, 1), :].reshape(W, L).astype(jnp.int32)
+        avail = avail_in + add
+        cur = jnp.sum(selend, axis=1, keepdims=True)  # (W, 1)
+        tgt_row = target_ref[pl.ds(i, 1), :]  # (1, W)
+        tgt = jnp.sum(
+            jnp.where(eye, jnp.broadcast_to(tgt_row, (W, W)), 0),
+            axis=1,
+            keepdims=True,
+        )  # (W, 1)
+        deficit = tgt - cur
+
+        def with_take():
+            csum = _lane_cumsum(avail, L)
+            total = csum[:, L - 1 : L]
+            take = jnp.clip(deficit - (total - csum), 0, avail)
+            return avail - take, selend + take
+
+        avail2, selend2 = jax.lax.cond(
+            jnp.any(deficit > 0), with_take, lambda: (avail, selend)
+        )
+        emitted = jnp.sum(
+            jnp.where(eye, jnp.broadcast_to(selend2[:, 0:1], (W, W)), 0),
+            axis=0,
+            keepdims=True,
+        )  # (1, W)
+        out_ref[pl.ds(i, 1), :] = emitted
+        return (
+            pltpu.roll(avail2, L - 1, 1) * zero_last,
+            pltpu.roll(selend2, L - 1, 1) * zero_last,
+        )
+
+    avail_f, selend_f = jax.lax.fori_loop(
+        0, block, body, (avail_s[:], selend_s[:])
+    )
+    avail_s[:] = avail_f
+    selend_s[:] = selend_f
+
+    @pl.when(t == nb - 1)
+    def _():
+        availf_ref[:] = avail_f
+        selendf_ref[:] = selend_f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_windows", "block", "max_span", "chunk", "interpret"),
+)
+def blocked_sweep_pass(
+    packed: jax.Array,   # int32[nbw, cap, W]
+    counts: jax.Array,   # int32[nbw, W]
+    target: jax.Array,   # int32[W, win]
+    avail0: jax.Array,   # int32[W, L]
+    selend0: jax.Array,  # int32[W, L]
+    n_windows: int,
+    block: int,
+    max_span: int,
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """One relaxation round: sweep all W windows in parallel with the given
+    carry seeds. Returns ``(sel[W, win], availf[W, L], selendf[W, L])``."""
+    W, B, L = n_windows, block, max_span
+    nbw, Wp, cap = packed.shape
+    assert Wp == W and counts.shape == (nbw, W)
+    win = nbw * B
+    assert target.shape == (W, win)
+    assert cap % chunk == 0, (cap, chunk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # counts: full array in SMEM, indexed [t, w]
+        grid=(nbw,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, W, cap), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((B, W), lambda t, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, W), lambda t, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, B, L), jnp.float32),
+            pltpu.VMEM((W, L), jnp.int32),
+            pltpu.VMEM((W, L), jnp.int32),
+        ],
+    )
+    out_t, availf, selendf = pl.pallas_call(
+        functools.partial(_blocked_kernel, block=B, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((win, W), jnp.int32),
+            jax.ShapeDtypeStruct((W, L), jnp.int32),
+            jax.ShapeDtypeStruct((W, L), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, packed, target.T, avail0, selend0)
+    return out_t.T, availf, selendf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_windows", "block", "max_span", "chunk", "interpret"),
+)
+def blocked_windowed_sweep(
+    packed: jax.Array,
+    counts: jax.Array,
+    target: jax.Array,  # int32[W, win]
+    n_windows: int,
+    block: int,
+    max_span: int,
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """Exact global sweep via carry relaxation over the blocked kernel.
+
+    Returns ``(sel_per_end[W * win], rounds_used)`` — bit-identical to the
+    global sequential ``sweep_counts`` at the fixed point (same argument as
+    ``parallel/windows.py``: window 0's seed is exact from round 0, so after
+    round k the first k+1 windows are exact; carries stabilize when every
+    window's seed equals its left neighbor's carry-out).
+    """
+    W, L = n_windows, max_span
+
+    def passes(a_in, s_in):
+        return blocked_sweep_pass(
+            packed, counts, target, a_in, s_in,
+            n_windows, block, max_span, chunk, interpret,
+        )
+
+    def shift(c_out):
+        return jnp.concatenate(
+            [jnp.zeros((1, L), jnp.int32), c_out[:-1]], axis=0
+        )
+
+    zeros = jnp.zeros((W, L), jnp.int32)
+    sel, a_out, s_out = passes(zeros, zeros)
+
+    def cond(state):
+        k, a_in, s_in, sel, a_out, s_out = state
+        stable = jnp.all(shift(a_out) == a_in) & jnp.all(shift(s_out) == s_in)
+        return (~stable) & (k < W)
+
+    def body(state):
+        k, _, _, _, a_out, s_out = state
+        a_in, s_in = shift(a_out), shift(s_out)
+        sel, a_out2, s_out2 = passes(a_in, s_in)
+        return (k + 1, a_in, s_in, sel, a_out2, s_out2)
+
+    k, _, _, sel, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), zeros, zeros, sel, a_out, s_out)
+    )
+    return sel.reshape(W * (target.shape[1])), k

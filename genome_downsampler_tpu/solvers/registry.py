@@ -87,6 +87,12 @@ def _make_qmcp_tpu() -> Solver:
     return QmcpDeviceSweepSolver()
 
 
+def _make_mcp_tpu_blocked() -> Solver:
+    from genome_downsampler_tpu.solvers.blocked_sweep import BlockedWindowedMcpSolver
+
+    return BlockedWindowedMcpSolver()
+
+
 def _make_test() -> Solver:
     from genome_downsampler_tpu.solvers.test_solver import TestSolver
 
@@ -110,5 +116,7 @@ def default_registry() -> SolverRegistry:
     reg.register("quasi-mcp-flow-tpu", _make_quasi_tpu, uses_quality=False)
     reg.register("mcp-tpu", _make_mcp_tpu, uses_quality=False)
     reg.register("qmcp-tpu", _make_qmcp_tpu, uses_quality=True)
+    # large-genome device path: O(R) memory, W windows in the sublane axis
+    reg.register("mcp-tpu-blocked", _make_mcp_tpu_blocked, uses_quality=False)
     reg.register("test", _make_test, uses_quality=False)
     return reg

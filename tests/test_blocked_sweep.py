@@ -1,0 +1,128 @@
+"""Blocked multi-window Pallas sweep vs the global scan (interpret on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from genome_downsampler_tpu.ops.coverage import (
+    capped_coverage,
+    coverage_from_intervals,
+)
+from genome_downsampler_tpu.ops.pallas_blocked import (
+    blocked_windowed_sweep,
+    pack_blocked,
+)
+from genome_downsampler_tpu.solvers.device_sweep import (
+    build_start_rows,
+    sweep_counts,
+)
+from genome_downsampler_tpu.testing.reads_gen import rand_reads_uniform
+
+
+def global_reference(batch, n_pad, m, L):
+    arrays, valid = batch.padded(1024)
+    start = jnp.asarray(arrays["start"])
+    end = jnp.asarray(arrays["end"])
+    w = jnp.asarray(valid).astype(jnp.int32)
+    rows = build_start_rows(start, end - start + 1, w, n_pad, L)
+    target = capped_coverage(coverage_from_intervals(start, end, n_pad, w), m)
+    z = jnp.zeros(L, jnp.int32)
+    sel, _, _ = sweep_counts(rows, target, z, z, L)
+    return np.asarray(sel)
+
+
+def run_blocked(batch, n, W, B, L, m, chunk=64):
+    start = np.asarray(batch.start, np.int64)
+    end = np.asarray(batch.end, np.int64)
+    packed, counts, win, n_pad = pack_blocked(
+        start, end, n, W, B, L, cap_multiple=chunk
+    )
+    s_dev = jnp.asarray(start.astype(np.int32))
+    e_dev = jnp.asarray(end.astype(np.int32))
+    ones = jnp.ones(start.shape[0], jnp.int32)
+    cov = coverage_from_intervals(s_dev, e_dev, n_pad, ones)
+    target = capped_coverage(cov, m).reshape(W, win)
+    sel, rounds = blocked_windowed_sweep(
+        jnp.asarray(packed), jnp.asarray(counts), target,
+        W, B, L, chunk, True,
+    )
+    return np.asarray(sel), n_pad, int(rounds)
+
+
+def test_pack_blocked_roundtrip():
+    rng = np.random.default_rng(0)
+    start = rng.integers(0, 1000, 500)
+    span = rng.integers(10, 64, 500)
+    end = start + span - 1
+    W, B, L = 4, 32, 64
+    packed, counts, win, n_pad = pack_blocked(start, end, 1000, W, B, L, 16)
+    assert n_pad == W * win and win % B == 0
+    total = int((packed >= 0).sum())
+    assert total == 500 == int(counts.sum())
+    # decode every code back and verify bucketing
+    nbw = win // B
+    for t in range(nbw):
+        for w in range(W):
+            codes = packed[t, w, : counts[t, w]]
+            assert (codes >= 0).all()
+            s_rel = codes // L
+            sp = codes % L + 1
+            s_abs = w * win + t * B + s_rel
+            mask = (start // win == w) & ((start % win) // B == t)
+            np.testing.assert_array_equal(
+                np.sort(s_abs), np.sort(start[mask])
+            )
+            np.testing.assert_array_equal(
+                np.sort(s_abs + sp - 1), np.sort(end[mask])
+            )
+
+
+@pytest.mark.parametrize("seed,m", [(0, 3), (1, 7), (2, 12)])
+def test_blocked_matches_global_sweep(seed, m):
+    W, B, L = 4, 64, 64
+    n = 900  # not a multiple of W*B: exercises padding
+    rng = np.random.default_rng(seed)
+    batch = rand_reads_uniform(rng, 800, n, 48)
+    sel, n_pad, rounds = run_blocked(batch, n, W, B, L, m)
+    ref = global_reference(batch, n_pad, m, L)
+    np.testing.assert_array_equal(sel, ref)
+    assert 1 <= rounds <= W
+
+
+def test_blocked_sparse_blocks_and_empty_windows():
+    # all reads clumped at the genome start: later windows see zero reads
+    W, B, L = 4, 32, 32
+    n = 512
+    rng = np.random.default_rng(3)
+    start = rng.integers(0, 40, 300)
+    span = rng.integers(5, 32, 300)
+    from genome_downsampler_tpu.core.readbatch import ReadBatch
+
+    r = start.size
+    batch = ReadBatch(
+        bam_id=np.arange(r, dtype=np.int64),
+        start=start.astype(np.int32),
+        end=(start + span - 1).astype(np.int32),
+        quality=np.full(r, 50, np.int32),
+        seq_length=span.astype(np.int32),
+        is_first=np.tile([True, False], r // 2),
+        ref_genome_length=n,
+    )
+    sel, n_pad, _ = run_blocked(batch, n, W, B, L, m=4, chunk=32)
+    ref = global_reference(batch, n_pad, 4, L)
+    np.testing.assert_array_equal(sel, ref)
+
+
+def test_blocked_solver_matches_host_oracle():
+    from genome_downsampler_tpu.solvers.blocked_sweep import (
+        BlockedWindowedMcpSolver,
+    )
+    from genome_downsampler_tpu.solvers.greedy_mcp import GreedyMcpSolver
+
+    rng = np.random.default_rng(7)
+    batch = rand_reads_uniform(rng, 1200, 2000, 50)
+    sel = BlockedWindowedMcpSolver(
+        n_windows=4, block=64, max_span=64, chunk=64
+    ).solve(5, batch)
+    oracle = GreedyMcpSolver().solve(5, batch)
+    np.testing.assert_array_equal(sel, oracle)
