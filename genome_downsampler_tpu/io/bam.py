@@ -65,6 +65,19 @@ def _load_lib():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p,
         ]
+        lib.gd_read_bam_region.restype = ctypes.c_int
+        lib.gd_read_bam_region.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(_GdReadResult),
+        ]
+        lib.gd_write_bam_voffsets.restype = ctypes.c_int64
+        lib.gd_write_bam_voffsets.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p,
+        ]
         _lib = lib
     return _lib
 
@@ -134,9 +147,85 @@ def read_bam(
     return batch, filtered_out, in_single
 
 
+def read_bam_region(
+    path: Path | str,
+    config: BamApiConfig,
+    lo: int,
+    hi: int,
+    bai_path: Path | str | None = None,
+) -> Tuple[ReadBatch, np.ndarray, np.ndarray]:
+    """Indexed region read for host-sharded input (coordinate-sorted BAM).
+
+    Loads, pairs, and filters only the records with ``lo <= pos <= hi``,
+    seeking via the BAM index (``<path>.bai`` by default; streamed from the
+    first record when absent). Record ids in the returned batch are BGZF
+    *virtual offsets*, the namespace :func:`write_bam` consumes with
+    ``ids_are_voffsets=True`` — a multi-host job merges its hosts' selected
+    voffsets by sort and re-streams once. Pairs whose mates both fall in
+    [lo, hi] are kept; callers shard with a halo wider than the maximum
+    mate distance and own reads by start position.
+    """
+    lib = _load_lib()
+    bai = Path(bai_path) if bai_path else Path(str(path) + ".bai")
+    voffset_hint = 0
+    if bai.exists():
+        from genome_downsampler_tpu.io.bai import parse_bai, seek_voffset_for
+
+        linear = parse_bai(bai)
+        if linear:
+            voffset_hint = seek_voffset_for(linear[0], int(lo))
+
+    amps = load_amplicons(config.bed_path, config.tsv_path) if config.bed_path else []
+    amp_start = np.array([a.start for a in amps], np.int64)
+    amp_end = np.array([a.end for a in amps], np.int64)
+    mode = config.amplicon_behaviour.value if amps else 0
+
+    res = _GdReadResult()
+    with timed("read_bam_region"):
+        rc = lib.gd_read_bam_region(
+            str(path).encode(), config.hts_thread_count, config.min_mapq,
+            config.min_seq_length, mode,
+            amp_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            amp_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(amps), voffset_hint, int(lo), int(hi), ctypes.byref(res),
+        )
+    if rc != 0:
+        raise IOError(f"read_bam_region({path}): {res.error.decode()}")
+    try:
+        n = res.n_reads
+        batch = ReadBatch(
+            bam_id=_to_numpy(res.bam_id, n, np.int64),
+            start=_to_numpy(res.start, n, np.int32),
+            end=_to_numpy(res.end, n, np.int32),
+            quality=_to_numpy(res.quality, n, np.int32),
+            seq_length=_to_numpy(res.seq_length, n, np.int32),
+            is_first=_to_numpy(res.is_first, n, np.uint8).astype(bool),
+            ref_genome_length=res.ref_genome_length,
+        )
+        filtered_out = _to_numpy(res.filtered_out, res.n_filtered_out, np.int64)
+        in_single = _to_numpy(res.in_single_amplicon, n, np.uint8).astype(bool)
+        if (
+            config.amplicon_behaviour == AmpliconBehaviour.GRADE
+            and mode == 2
+            and res.max_mapq_seen > 0
+            and res.min_mapq_seen < 2**31
+        ):
+            qlo, qhi = int(res.min_mapq_seen), int(res.max_mapq_seen)
+            batch.quality = (
+                batch.quality - qlo + np.where(in_single, qhi - qlo, 0)
+            ).astype(np.int32)
+        _log.debug(
+            "BamApi(region %d-%d): %d records scanned, %d imported",
+            lo, hi, res.total_records, n,
+        )
+    finally:
+        lib.gd_free_read_result(ctypes.byref(res))
+    return batch, filtered_out, in_single
+
+
 def write_bam(
     in_path: Path | str, out_path: Path | str, bam_ids: np.ndarray,
-    threads: int = 2,
+    threads: int = 2, ids_are_voffsets: bool = False,
 ) -> int:
     """Re-stream ``in_path`` into ``out_path`` keeping the records whose line
     ids are in ``bam_ids`` (order/header preserved; ids are sorted first like
@@ -144,8 +233,9 @@ def write_bam(
     lib = _load_lib()
     ids = np.sort(np.asarray(bam_ids, np.int64))
     err = ctypes.create_string_buffer(256)
+    fn = lib.gd_write_bam_voffsets if ids_are_voffsets else lib.gd_write_bam
     with timed("write_bam"):
-        wrote = lib.gd_write_bam(
+        wrote = fn(
             str(in_path).encode(), str(out_path).encode(), threads,
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(ids), err,
         )

@@ -59,6 +59,11 @@ struct BgzfReader {
     size_t pos = 0;              // cursor within buf
     bool eof = false;
     std::string error;
+    // per-batch block map for virtual offsets: block i of the current batch
+    // starts at compressed file offset blk_coff_[i] and decompressed batch
+    // offset blk_off_[i] (blk_off_ has a trailing total-size sentinel)
+    std::vector<int64_t> blk_coff_;
+    std::vector<size_t> blk_off_;
 
     bool open(const char* path, int nthreads = 1) {
         threads = std::max(1, nthreads);
@@ -67,6 +72,41 @@ struct BgzfReader {
         return true;
     }
     ~BgzfReader() { if (f) std::fclose(f); }
+
+    // BGZF virtual offset (coffset << 16 | uoffset) of the byte the cursor
+    // is on. Valid between reads while the current batch is loaded.
+    int64_t voffset() {
+        if (pos == buf.size()) {
+            // cursor at batch end: the next byte lives at the upcoming
+            // compressed offset
+            return std::ftell(f) << 16;
+        }
+        size_t i = std::upper_bound(blk_off_.begin(), blk_off_.end(), pos) -
+                   blk_off_.begin() - 1;
+        return (blk_coff_[i] << 16) | (int64_t)(pos - blk_off_[i]);
+    }
+
+    // Jump to a BGZF virtual offset (random access, e.g. from a BAM index).
+    bool seek_voffset(int64_t vo) {
+        if (std::fseek(f, vo >> 16, SEEK_SET) != 0) {
+            error = "seek failed";
+            return false;
+        }
+        buf.clear();
+        blk_coff_.clear();
+        blk_off_.assign(1, 0);
+        pos = 0;
+        eof = false;
+        size_t uoff = (size_t)(vo & 0xffff);
+        if (uoff == 0) return true;
+        if (!next_batch()) { error = "seek past EOF"; return false; }
+        if (blk_off_.size() < 2 || uoff > blk_off_[1]) {
+            error = "bad virtual offset";
+            return false;
+        }
+        pos = uoff;
+        return true;
+    }
 
     // Read one compressed block's payload; false at EOF or error.
     bool read_raw_block(std::vector<uint8_t>& cdata, uint32_t& isize) {
@@ -128,19 +168,25 @@ struct BgzfReader {
         std::vector<std::vector<uint8_t>> cdatas;
         std::vector<uint32_t> isizes;
         std::vector<size_t> offsets;
+        blk_coff_.clear();
+        blk_off_.clear();
         size_t total = 0;
         for (int i = 0; i < batch_blocks; ++i) {
             std::vector<uint8_t> cdata;
             uint32_t isize;
+            int64_t coff = std::ftell(f);
             if (!read_raw_block(cdata, isize)) {
                 if (!error.empty()) return false;
                 break;  // EOF
             }
+            blk_coff_.push_back(coff);
+            blk_off_.push_back(total);
             offsets.push_back(total);
             total += isize;
             cdatas.push_back(std::move(cdata));
             isizes.push_back(isize);
         }
+        blk_off_.push_back(total);  // sentinel
         if (cdatas.empty()) return false;
         buf.resize(total);
         pos = 0;
@@ -415,11 +461,19 @@ struct GdReadResult {
     char error[256];
 };
 
-// amplicon_mode: 0 = IGNORE, 1 = FILTER, 2 = GRADE
-// (bam_api_config.hpp:9-16)
-int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
-                uint32_t min_len, int amplicon_mode, const int64_t* amp_start,
-                const int64_t* amp_end, int64_t n_amp, GdReadResult* out) {
+// Shared streaming implementation. In whole-file mode (region == false)
+// record ids are ordinal line numbers and filtered_out lists rejected line
+// numbers. In region mode record ids are BGZF *virtual offsets* (so a
+// multi-host job can merge selections by sorted voffset and the re-stream
+// writer can match them), the scan seeks to voffset_hint (from a BAM
+// index), skips records with pos < lo, and stops at the first record with
+// pos > hi — which requires a coordinate-sorted input, as indexed region
+// queries always do.
+static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
+                         uint32_t min_len, int amplicon_mode,
+                         const int64_t* amp_start, const int64_t* amp_end,
+                         int64_t n_amp, bool region, int64_t voffset_hint,
+                         int64_t lo, int64_t hi, GdReadResult* out) {
     std::memset(out, 0, sizeof *out);
     out->min_mapq_seen = INT64_MAX;
     out->max_mapq_seen = -1;
@@ -430,6 +484,12 @@ int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
     std::string err;
     if (!read_header(r, h, err)) { std::snprintf(out->error, 256, "%s", err.c_str()); return 1; }
     out->ref_genome_length = h.first_target_len;
+    if (region && voffset_hint > 0) {
+        if (!r.seek_voffset(voffset_hint)) {
+            std::snprintf(out->error, 256, "%s", r.error.c_str());
+            return 1;
+        }
+    }
 
     std::vector<Amp> amps(n_amp);
     for (int64_t i = 0; i < n_amp; ++i) amps[i] = {amp_start[i], amp_end[i]};
@@ -442,12 +502,14 @@ int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
     std::vector<int64_t> v_id;
     std::vector<int32_t> v_start, v_end, v_q, v_len;
     std::vector<uint8_t> v_first, v_amp;
-    std::vector<uint8_t> accepted;  // per input record
+    std::vector<uint8_t> accepted;     // per scanned record (ordinal mode)
+    std::vector<int64_t> scanned_ids;  // per scanned record (region mode)
     std::unordered_map<std::string, PendingRead> pending;
     std::vector<uint8_t> rec;
-    int64_t id = 0;
+    int64_t ordinal = 0, n_scanned = 0;
 
     while (!r.at_end()) {
+        int64_t rec_id = region ? r.voffset() : ordinal;
         uint8_t b4[4];
         if (!r.read(b4, 4)) { std::snprintf(out->error, 256, "truncated record size"); return 1; }
         int32_t block_size = rd_i32(b4);
@@ -455,10 +517,15 @@ int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
         if (!r.read(rec.data(), block_size)) {
             std::snprintf(out->error, 256, "truncated record"); return 1;
         }
-        accepted.push_back(0);
 
         int32_t ref_id = rd_i32(rec.data());
         int64_t pos = rd_i32(rec.data() + 4);
+        if (region && ref_id == 0 && pos > hi) break;  // sorted: done
+        if (region) scanned_ids.push_back(rec_id);
+        else accepted.push_back(0);
+        size_t scan_idx = n_scanned++;
+        ordinal++;
+
         uint8_t l_read_name = rec[8];
         uint8_t mapq = rec[9];
         uint16_t n_cigar = rd_u16(rec.data() + 12);
@@ -468,15 +535,16 @@ int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
         const uint8_t* cigar = rec.data() + 32 + l_read_name;
 
         // deviation: skip unmapped / non-first-contig records (see header)
-        if (ref_id != 0 || pos < 0) { id++; continue; }
+        if (ref_id != 0 || pos < 0) continue;
+        if (region && pos < lo) continue;  // left neighbor's territory
 
-        PendingRead cur{id, pos, pos + cigar_rlen(cigar, n_cigar) - 1, mapq,
-                        l_seq, (flag & 0x40) != 0};
+        PendingRead cur{rec_id, pos, pos + cigar_rlen(cigar, n_cigar) - 1,
+                        mapq, l_seq, (flag & 0x40) != 0};
+        (void)scan_idx;
         std::string key(qname, l_read_name ? l_read_name - 1 : 0);
         auto it = pending.find(key);
         if (it == pending.end()) {
             pending.emplace(std::move(key), cur);
-            id++;
             continue;
         }
         PendingRead r1 = it->second;  // first seen stays in the map
@@ -484,7 +552,7 @@ int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
         bool drop = r1.mapq < min_mapq || r2.mapq < min_mapq ||
                     r1.l_seq < (int32_t)min_len || r2.l_seq < (int32_t)min_len;
         if (amplicon_mode == 1 && !drop) drop = !in_single(r1, r2);
-        if (drop) { id++; continue; }
+        if (drop) continue;
 
         uint8_t amp_flag = 0;
         if (amplicon_mode == 2) {
@@ -504,14 +572,15 @@ int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
             v_first.push_back(p->is_first ? 1 : 0);
             v_amp.push_back(amp_flag);
         }
-        accepted[r1.bam_id] = 1;
-        accepted[r2.bam_id] = 1;
-        id++;
+        if (!region) {
+            accepted[r1.bam_id] = 1;
+            accepted[r2.bam_id] = 1;
+        }
     }
     if (!r.error.empty()) { std::snprintf(out->error, 256, "%s", r.error.c_str()); return 1; }
 
     out->n_reads = (int64_t)v_id.size();
-    out->total_records = id;
+    out->total_records = n_scanned;
     auto copy_arr = [](auto& vec, auto*& dst) {
         using T = typename std::remove_reference_t<decltype(vec)>::value_type;
         dst = static_cast<T*>(std::malloc(vec.size() * sizeof(T)));
@@ -526,11 +595,43 @@ int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
     copy_arr(v_amp, out->in_single_amplicon);
 
     std::vector<int64_t> fo;
-    for (int64_t i = 0; i < (int64_t)accepted.size(); ++i)
-        if (!accepted[i]) fo.push_back(i);
+    if (region) {
+        // rejected = scanned voffsets not among the accepted ids
+        std::vector<int64_t> acc(v_id);
+        std::sort(acc.begin(), acc.end());
+        for (int64_t vid : scanned_ids)
+            if (!std::binary_search(acc.begin(), acc.end(), vid))
+                fo.push_back(vid);
+    } else {
+        for (int64_t i = 0; i < (int64_t)accepted.size(); ++i)
+            if (!accepted[i]) fo.push_back(i);
+    }
     out->n_filtered_out = (int64_t)fo.size();
     copy_arr(fo, out->filtered_out);
     return 0;
+}
+
+// amplicon_mode: 0 = IGNORE, 1 = FILTER, 2 = GRADE
+// (bam_api_config.hpp:9-16)
+int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
+                uint32_t min_len, int amplicon_mode, const int64_t* amp_start,
+                const int64_t* amp_end, int64_t n_amp, GdReadResult* out) {
+    return read_bam_impl(path, threads, min_mapq, min_len, amplicon_mode,
+                         amp_start, amp_end, n_amp, false, 0, 0, 0, out);
+}
+
+// Indexed region read for host-sharded input: record ids are BGZF virtual
+// offsets; the scan seeks to voffset_hint (0 = from the first record),
+// keeps reads with lo <= pos <= hi, and stops past hi (coordinate-sorted
+// input required). Pairs split further than the caller's halo are dropped.
+int gd_read_bam_region(const char* path, int threads, uint32_t min_mapq,
+                       uint32_t min_len, int amplicon_mode,
+                       const int64_t* amp_start, const int64_t* amp_end,
+                       int64_t n_amp, int64_t voffset_hint, int64_t lo,
+                       int64_t hi, GdReadResult* out) {
+    return read_bam_impl(path, threads, min_mapq, min_len, amplicon_mode,
+                         amp_start, amp_end, n_amp, true, voffset_hint, lo,
+                         hi, out);
 }
 
 void gd_free_read_result(GdReadResult* r) {
@@ -582,6 +683,53 @@ int64_t gd_write_bam(const char* in_path, const char* out_path, int threads,
             while (cursor < n_ids && ids[cursor] == id) cursor++;
         }
         id++;
+    }
+    if (!w.close()) { std::snprintf(err, 256, "%s", w.error.c_str()); return -1; }
+    return written;
+}
+
+// Like gd_write_bam but ids are BGZF virtual offsets (sorted ascending),
+// the id namespace region reads emit — voffsets increase monotonically in
+// file order, so the same single-pass sorted-merge re-stream applies. This
+// is how a multi-host job writes its merged selection.
+int64_t gd_write_bam_voffsets(const char* in_path, const char* out_path,
+                              int threads, const int64_t* ids, int64_t n_ids,
+                              char* err) {
+    err[0] = 0;
+    BgzfReader r;
+    if (!r.open(in_path, threads)) { std::snprintf(err, 256, "%s", r.error.c_str()); return -1; }
+    HeaderInfo h;
+    std::string herr;
+    if (!read_header(r, h, herr)) { std::snprintf(err, 256, "%s", herr.c_str()); return -1; }
+
+    BgzfWriter w;
+    if (!w.open(out_path, threads)) { std::snprintf(err, 256, "%s", w.error.c_str()); return -1; }
+    if (!w.write(h.raw.data(), h.raw.size())) {
+        std::snprintf(err, 256, "%s", w.error.c_str()); return -1;
+    }
+
+    std::vector<uint8_t> rec;
+    int64_t cursor = 0, written = 0;
+    while (cursor < n_ids && !r.at_end()) {
+        int64_t vo = r.voffset();
+        uint8_t b4[4];
+        if (!r.read(b4, 4)) { std::snprintf(err, 256, "truncated record size"); return -1; }
+        int32_t block_size = rd_i32(b4);
+        rec.resize(block_size);
+        if (!r.read(rec.data(), block_size)) {
+            std::snprintf(err, 256, "truncated record"); return -1;
+        }
+        if (vo == ids[cursor]) {
+            if (!w.write(b4, 4) || !w.write(rec.data(), block_size)) {
+                std::snprintf(err, 256, "%s", w.error.c_str()); return -1;
+            }
+            written++;
+            while (cursor < n_ids && ids[cursor] == vo) cursor++;
+        } else if (vo > ids[cursor]) {
+            std::snprintf(err, 256, "voffset id %lld not found in stream",
+                          (long long)ids[cursor]);
+            return -1;
+        }
     }
     if (!w.close()) { std::snprintf(err, 256, "%s", w.error.c_str()); return -1; }
     return written;

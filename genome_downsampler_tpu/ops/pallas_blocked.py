@@ -100,7 +100,9 @@ def pack_blocked(
 
 
 def _blocked_kernel(
-    counts_ref,   # int32[nbw, W] SMEM (scalar prefetch) — codes per (block, window)
+    counts_ref,   # int32[nbw * W] SMEM (scalar prefetch) — codes per
+                  #   (block, window), flattened 1-D (2-D SMEM pads the lane
+                  #   axis to 128 and overflows SMEM at large nbw)
     packed_ref,   # int32[1, W, cap] VMEM — read codes
     target_ref,   # int32[B, W]   VMEM — capped coverage targets (transposed:
                   #   dynamic per-position access must ride the sublane axis)
@@ -132,7 +134,7 @@ def _blocked_kernel(
     row_b = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
     row_l = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
     for w in range(W):  # static unroll
-        cnt = counts_ref[t, w]
+        cnt = counts_ref[t * W + w]
         nch = (cnt + C - 1) // C
 
         def chunk_body(j, _, w=w):
@@ -241,6 +243,7 @@ def blocked_sweep_pass(
     W, B, L = n_windows, block, max_span
     nbw, Wp, cap = packed.shape
     assert Wp == W and counts.shape == (nbw, W)
+    counts_flat = counts.reshape(nbw * W)
     win = nbw * B
     assert target.shape == (W, win)
     assert cap % chunk == 0, (cap, chunk)
@@ -276,7 +279,7 @@ def blocked_sweep_pass(
             jax.ShapeDtypeStruct((W, L), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, packed, target.T, avail0, selend0)
+    )(counts_flat, packed, target.T, avail0, selend0)
     return out_t.T, availf, selendf
 
 

@@ -1,0 +1,188 @@
+"""Host-sharded end-to-end downsampling: indexed BAM region reads per
+process, global-mesh window solve, voffset-merged single-writer output.
+
+The chr1-scale multi-host pipeline (BASELINE.md config 5). Per process:
+
+1. **Read a region, not the file.** Each process looks up its genome
+   window in the BAM index and reads ``[window_lo - halo, window_hi +
+   halo]`` via ``io.bam.read_bam_region`` (record ids = BGZF virtual
+   offsets). ``halo`` must exceed the maximum mate distance and the maximum
+   read span, so every read relevant to the window (coverage contributors,
+   end-owned reads, mates) is locally available.
+2. **Solve on the global device mesh.** Local windows' read-start rows and
+   capped-coverage targets are placed shard-by-shard with
+   ``jax.make_array_from_callback`` (no host ever holds the whole genome)
+   and the ``parallel.mesh`` ppermute carry-relaxation solver runs SPMD —
+   bit-identical to the global sequential sweep at its fixed point.
+3. **Reconstruct by end ownership.** ``sel_per_end[e]`` counts are mapped
+   to concrete reads with the earliest-start-per-end-bucket rule
+   (``solvers.device_sweep.reconstruct_selection``); each end position
+   belongs to exactly one window, so processes decide disjoint read sets
+   with a deterministic global rule — the union equals the single-process
+   selection bit for bit.
+4. **Merge and write once.** Selected voffsets (plus mates, the reference's
+   ``find_pairs`` semantics) are allgathered; process 0 re-streams the
+   input BAM over the sorted union — identical output to a single-process
+   run.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from genome_downsampler_tpu.config import BamApiConfig
+from genome_downsampler_tpu.io.bam import read_bam_region, write_bam
+from genome_downsampler_tpu.utils.logging import get_logger
+
+_log = get_logger("parallel.sharded")
+
+
+def bam_genome_length(path: Path | str) -> int:
+    """First-contig length from the header only (hi = -1 stops the record
+    scan immediately)."""
+    cfg = BamApiConfig(min_mapq=0, min_seq_length=0)
+    batch, _, _ = read_bam_region(path, cfg, 0, -1)
+    return batch.ref_genome_length
+
+
+def run_sharded(
+    path: Path | str,
+    max_coverage: int,
+    config: Optional[BamApiConfig] = None,
+    out_path: Path | str | None = None,
+    halo: int = 2_000,
+    max_span: int = 256,
+) -> np.ndarray:
+    """Sharded downsampling across all processes/devices of the jax job.
+
+    Returns the merged selected+paired voffsets (all processes); process 0
+    additionally writes ``out_path`` when given. Requires a
+    coordinate-sorted input; uses ``<path>.bai`` when present.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from genome_downsampler_tpu.parallel.launch import global_window_mesh
+    from genome_downsampler_tpu.parallel.mesh import make_mesh_solver
+    from genome_downsampler_tpu.solvers.device_sweep import (
+        reconstruct_selection,
+    )
+
+    config = config or BamApiConfig()
+    if halo < max_span:
+        raise ValueError(f"halo {halo} must be >= max_span {max_span}")
+
+    n = bam_genome_length(path)
+    mesh = global_window_mesh()
+    n_dev = mesh.shape["x"]
+    win = max(-(-n // n_dev), max_span)
+    n_pad = win * n_dev
+
+    # this process's device windows form one contiguous range
+    my_devs = [
+        i for i, d in enumerate(mesh.devices.flat)
+        if d.process_index == jax.process_index()
+    ]
+    lo_w, hi_w = min(my_devs) * win, (max(my_devs) + 1) * win  # [lo_w, hi_w)
+    lo = max(0, lo_w - halo)
+    hi = min(n_pad, hi_w + halo) - 1
+    batch, _, _ = read_bam_region(path, config, lo, hi)
+    _log.debug(
+        "rank %d: windows [%d, %d), region [%d, %d], %d reads",
+        jax.process_index(), lo_w, hi_w, lo, hi, batch.n_reads,
+    )
+
+    start = np.asarray(batch.start, np.int64)
+    end = np.asarray(batch.end, np.int64)
+    span = end - start + 1
+    if span.size and int(span.max()) > max_span:
+        raise ValueError(
+            f"read span {int(span.max())} exceeds max_span={max_span}"
+        )
+
+    # local rows/target covering this process's windows
+    local_n = hi_w - lo_w
+    rows_local = np.zeros((local_n, max_span), np.int32)
+    in_win = (start >= lo_w) & (start < hi_w)
+    np.add.at(rows_local, (start[in_win] - lo_w, span[in_win] - 1), 1)
+    cov = np.zeros(local_n + max_span + 1, np.int64)
+    s_rel = np.clip(start - lo_w, -max_span, local_n)
+    e_rel = np.clip(end - lo_w + 1, -max_span, local_n)
+    valid = e_rel > s_rel  # overlaps [lo_w, hi_w) at all
+    np.add.at(cov, np.maximum(s_rel[valid], 0), 1)
+    np.add.at(cov, np.maximum(e_rel[valid], 0), -1)
+    target_local = np.minimum(
+        np.cumsum(cov)[:local_n], max_coverage
+    ).astype(np.int32)
+
+    fn, rows_sh, tgt_sh = make_mesh_solver(mesh, n_pad, max_span)
+
+    def rows_cb(idx):
+        g0 = idx[0].start or 0
+        return rows_local[g0 - lo_w : g0 - lo_w + win]
+
+    def tgt_cb(idx):
+        g0 = idx[0].start or 0
+        return target_local[g0 - lo_w : g0 - lo_w + win]
+
+    rows = jax.make_array_from_callback((n_pad, max_span), rows_sh, rows_cb)
+    target = jax.make_array_from_callback((n_pad,), tgt_sh, tgt_cb)
+    sel = fn(rows, target)
+
+    # local shard of sel_per_end -> end-owned reconstruction
+    sel_local = np.zeros(local_n, np.int64)
+    for shard in sel.addressable_shards:
+        g0 = shard.index[0].start or 0
+        data = np.asarray(shard.data).reshape(-1)
+        sel_local[g0 - lo_w : g0 - lo_w + data.shape[0]] = data
+
+    # reconstruct over reads whose END lies in our windows; positions use
+    # local coordinates (end - lo_w)
+    own = (end >= lo_w) & (end < hi_w)
+    idx_own = np.flatnonzero(own)
+    picked = reconstruct_selection(
+        start[idx_own] - lo_w, end[idx_own] - lo_w, sel_local
+    )
+    sel_reads = idx_own[picked]
+    paired = batch.find_pairs(sel_reads)
+    voffs_local = np.asarray(batch.bam_id[paired], np.int64)
+
+    # allgather variable-length voffset lists (pad to the global max).
+    # voffsets are 48+ bit values and jax arrays are int32 without x64 —
+    # ship them as two uint32 halves and recombine
+    n_local = np.int32(voffs_local.shape[0])
+    n_all = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(n_local))
+    ).reshape(-1)
+    cap = int(n_all.max()) if n_all.size else 0
+    if cap:
+        pad = np.zeros((2, cap), np.uint32)
+        u = voffs_local.astype(np.uint64)
+        pad[0, : u.shape[0]] = (u >> np.uint64(32)).astype(np.uint32)
+        pad[1, : u.shape[0]] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(jnp.asarray(pad))
+        ).reshape(-1, 2, cap)
+        lens = n_all.reshape(-1)
+        parts = [
+            (
+                gathered[p, 0, : lens[p]].astype(np.uint64) << np.uint64(32)
+            )
+            | gathered[p, 1, : lens[p]].astype(np.uint64)
+            for p in range(gathered.shape[0])
+        ]
+        merged = np.unique(np.concatenate(parts)).astype(np.int64)
+    else:
+        merged = np.zeros(0, np.int64)
+
+    if out_path is not None and jax.process_index() == 0:
+        write_bam(
+            path, out_path, merged, config.hts_thread_count,
+            ids_are_voffsets=True,
+        )
+    return merged

@@ -37,6 +37,40 @@ def _bgzf_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
+class _BgzfTrackingWriter:
+    """BGZF writer that reports the virtual offset of each write — what the
+    BAI builder needs (voffset = compressed file offset << 16 | offset into
+    the uncompressed block)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.pend = bytearray()
+
+    def voffset(self) -> int:
+        return (len(self.out) << 16) | len(self.pend)
+
+    def write(self, data: bytes) -> int:
+        vo = self.voffset()
+        view = memoryview(data)
+        while view:
+            take = min(len(view), 0xFF00 - len(self.pend))
+            self.pend += view[:take]
+            view = view[take:]
+            if len(self.pend) == 0xFF00:
+                self.flush_block()
+        return vo
+
+    def flush_block(self):
+        if not self.pend:
+            return
+        self.out += _bgzf_compress(bytes(self.pend))
+        self.pend.clear()
+
+    def finish(self) -> bytes:
+        self.flush_block()
+        return bytes(self.out) + _BGZF_EOF
+
+
 _CIGAR_OPS = "MIDNSHP=X"
 
 
@@ -47,6 +81,7 @@ def write_test_bam(
     coordinate_sorted: bool = False,
     extra_refs: list[tuple[str, int]] | None = None,
     cigars: list[list[tuple[int, str]]] | None = None,
+    make_index: bool = False,
 ) -> None:
     """Write ``batch`` as a BAM file.
 
@@ -56,8 +91,11 @@ def write_test_bam(
     ``MIDNSHP=X``), and a poly-A sequence of ``seq_length`` bases.
     ``coordinate_sorted`` reorders records by position (bam line ids then
     differ from batch order, which is what real position-sorted inputs look
-    like).
+    like). ``make_index`` (requires ``coordinate_sorted``) also writes a
+    ``<path>.bai`` linear index for region reads.
     """
+    if make_index and not coordinate_sorted:
+        raise ValueError("make_index requires coordinate_sorted=True")
     text = f"@HD\tVN:1.6\n@SQ\tSN:{ref_name}\tLN:{batch.ref_genome_length}\n"
     refs = [(ref_name, batch.ref_genome_length)] + list(extra_refs or [])
 
@@ -72,7 +110,9 @@ def write_test_bam(
     if coordinate_sorted:
         order = np.argsort(batch.start, kind="stable")
 
-    body = bytearray()
+    w = _BgzfTrackingWriter()
+    w.write(hdr)
+    rec_voffs, rec_starts, rec_ends = [], [], []
     for i in order:
         pair_idx = int(batch.bam_id[i]) // 2
         qname = f"p{pair_idx}".encode() + b"\x00"
@@ -106,8 +146,19 @@ def write_test_bam(
             0,                       # tlen
         )
         rec += qname + cigar + seq + qual
-        body += struct.pack("<i", len(rec)) + rec
+        vo = w.write(struct.pack("<i", len(rec)) + rec)
+        rec_voffs.append(vo)
+        rec_starts.append(int(batch.start[i]))
+        rec_ends.append(int(batch.end[i]))
 
     with open(path, "wb") as f:
-        f.write(_bgzf_compress(hdr + bytes(body)))
-        f.write(_BGZF_EOF)
+        f.write(w.finish())
+    if make_index:
+        from genome_downsampler_tpu.io.bai import write_bai
+
+        write_bai(
+            str(path) + ".bai",
+            np.array(rec_starts, np.int64),
+            np.array(rec_ends, np.int64),
+            np.array(rec_voffs, np.uint64),
+        )

@@ -51,7 +51,7 @@ def run(scale: str, n_windows: int = 8, block: int = 256, L: int = 256):
     packed, counts, win, n_pad = pack_blocked(start, end, n, n_windows, block, L)
     print(
         f"pack: {time.perf_counter()-t0:.1f}s packed={packed.nbytes/1e6:.1f}MB "
-        f"cap={packed.shape[1]} nbw={packed.shape[0]}",
+        f"cap={packed.shape[2]} nbw={packed.shape[0]}",
         flush=True,
     )
 
@@ -72,7 +72,22 @@ def run(scale: str, n_windows: int = 8, block: int = 256, L: int = 256):
     packed_d.block_until_ready()
     print(f"upload+target: {time.perf_counter()-t0:.1f}s", flush=True)
 
-    # one pass (single relaxation round) timing
+    # Honest timing under the axon relay: it memoizes (program, inputs) ->
+    # result, so repeated identical calls return instantly. Each timed call
+    # perturbs a PADDED sentinel slot of the packed codes with a fresh
+    # negative value — any negative code has code // L < 0 and matches no
+    # one-hot row, so the result is bit-identical while the input differs.
+    import os as _os
+
+    flat_counts = counts.reshape(-1)
+    slack_g = int(np.argmin(flat_counts))
+    assert flat_counts[slack_g] < packed.shape[2], "no padded slot available"
+    nt, nw = slack_g // n_windows, slack_g % n_windows
+
+    def nonce_packed():
+        k = int.from_bytes(_os.urandom(4), "little") % 1_000_000
+        return packed_d.at[nt, nw, packed.shape[2] - 1].set(-2 - k)
+
     zeros = jnp.zeros((n_windows, L), jnp.int32)
     t0 = time.perf_counter()
     sel1, a1, s1 = blocked_sweep_pass(
@@ -80,13 +95,18 @@ def run(scale: str, n_windows: int = 8, block: int = 256, L: int = 256):
     )
     sel1.block_until_ready()
     print(f"pass 1 (compile+run): {time.perf_counter()-t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    sel1, a1, s1 = blocked_sweep_pass(
-        packed_d, counts_d, target, zeros, zeros, n_windows, block, L
-    )
-    sel1.block_until_ready()
-    pass_t = time.perf_counter() - t0
-    print(f"pass (steady): {pass_t*1000:.0f}ms", flush=True)
+    times = []
+    for _ in range(3):
+        pd = nonce_packed()
+        int(jnp.sum(pd[0, 0, :1]))  # settle the perturbed input
+        t0 = time.perf_counter()
+        _, a1, s1 = blocked_sweep_pass(
+            pd, counts_d, target, zeros, zeros, n_windows, block, L
+        )
+        int(jnp.sum(a1))  # force completion via scalar readback
+        times.append(time.perf_counter() - t0)
+    pass_t = min(times)
+    print(f"pass (steady, nonce): {pass_t*1000:.0f}ms", flush=True)
 
     # full relaxed solve
     t0 = time.perf_counter()
@@ -99,13 +119,21 @@ def run(scale: str, n_windows: int = 8, block: int = 256, L: int = 256):
         f"rounds={int(rounds)}",
         flush=True,
     )
-    t0 = time.perf_counter()
+    times = []
+    for _ in range(3):
+        pd = nonce_packed()
+        int(jnp.sum(pd[0, 0, :1]))
+        t0 = time.perf_counter()
+        sel, rounds = blocked_windowed_sweep(
+            pd, counts_d, target, n_windows, block, L
+        )
+        int(jnp.sum(sel[:1]))
+        times.append(time.perf_counter() - t0)
+    solve_t = min(times)
     sel, rounds = blocked_windowed_sweep(
         packed_d, counts_d, target, n_windows, block, L
     )
-    sel.block_until_ready()
-    solve_t = time.perf_counter() - t0
-    print(f"relaxed solve (steady): {solve_t*1000:.0f}ms rounds={int(rounds)}", flush=True)
+    print(f"relaxed solve (steady, nonce): {solve_t*1000:.0f}ms rounds={int(rounds)}", flush=True)
 
     sel_np = np.asarray(sel)[:n]
     dev_sel = reconstruct_selection(start, end, sel_np)
