@@ -68,6 +68,17 @@ def build_parser(registry) -> argparse.ArgumentParser:
                    help="Shard the genome into this many coordinate windows "
                         "solved in parallel on device (mcp-tpu/quasi-mcp-tpu "
                         "only; the result stays bit-identical to one window).")
+    p.add_argument("--sharded", action="store_true",
+                   help="Host-sharded pipeline: every process of the "
+                        "jax.distributed job (GD_COORDINATOR / "
+                        "GD_NUM_PROCESSES / GD_PROCESS_ID) reads only its "
+                        "genome window from the (coordinate-sorted, "
+                        "indexed) input, solves on the global device mesh, "
+                        "and process 0 writes the merged output — "
+                        "bit-identical to a single-process run.")
+    p.add_argument("--halo", type=int, default=2000,
+                   help="Sharded-mode window overlap; must exceed the "
+                        "maximum mate distance and read span. Default 2000.")
     return p
 
 
@@ -118,6 +129,29 @@ def run_downsample(args, registry) -> int:
         bed_path=args.bed,
         tsv_path=args.tsv,
     )
+
+    if args.sharded:
+        import jax
+
+        from genome_downsampler_tpu.parallel.launch import initialize_distributed
+        from genome_downsampler_tpu.parallel.sharded_io import run_sharded
+
+        if args.preprocessing_out:
+            _log.error("--preprocessing-out is not supported with --sharded")
+            return 1
+        initialize_distributed()
+        start = time.perf_counter()
+        merged = run_sharded(
+            input_path, args.max_coverage, config,
+            output_path if jax.process_index() == 0 else None,
+            halo=args.halo,
+        )
+        _log.info(
+            "sharded solve+write: %d reads in %.3f s (rank %d/%d)",
+            len(merged), time.perf_counter() - start,
+            jax.process_index(), jax.process_count(),
+        )
+        return 0
 
     from genome_downsampler_tpu.io.bam import BamReader
 

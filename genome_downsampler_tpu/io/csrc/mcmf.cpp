@@ -249,6 +249,8 @@ struct ConvexCostScaling {
             }
         }
         price_update();
+        // FIFO discharge (measured better than highest-price-first here:
+        // the chain + shortcut topology keeps FIFO waves short)
         std::deque<int32_t> active;
         std::vector<uint8_t> in_q(N, 0);
         for (int32_t u = 0; u < N; ++u)
