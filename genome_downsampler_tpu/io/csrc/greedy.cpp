@@ -24,6 +24,8 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <atomic>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -212,3 +214,94 @@ int64_t gd_greedy_mcp(
 void gd_free_i64(int64_t* p) { std::free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Blocked packing for the device sweep (ops/pallas_blocked.pack_blocked):
+// bucket reads by (window, block-within-window) into a padded code array
+// packed[nbw][W][cap] with code = start_rel * L + (span - 1), sentinel -1.
+// Counting sort, O(R) — the numpy argsort path costs minutes at 10M+ reads
+// on this VM. Returns 0 on success; outputs are malloc'd (free with
+// gd_free_i64 / gd_free_i32).
+extern "C" int64_t gd_pack_blocked(
+    const int64_t* start, const int64_t* end, int64_t R, int64_t n,
+    int64_t W, int64_t B, int64_t L, int64_t cap_multiple, int64_t threads,
+    int32_t** out_packed, int32_t** out_counts,
+    int64_t* out_win, int64_t* out_cap) {
+    *out_packed = nullptr;
+    *out_counts = nullptr;
+    int64_t win = (n + W - 1) / W;
+    win = (win + B - 1) / B * B;
+    int64_t nbw = win / B;
+    int64_t groups = nbw * W;
+    int64_t T = std::max<int64_t>(1, std::min<int64_t>(threads, 32));
+
+    int32_t* counts =
+        static_cast<int32_t*>(std::calloc(std::max<int64_t>(groups, 1), 4));
+    if (!counts) return -1;
+    std::atomic<bool> ok{true};
+    {
+        // per-thread count arrays, merged after — the count pass is
+        // bandwidth-bound and parallelizes cleanly
+        std::vector<std::vector<int32_t>> part(T);
+        std::vector<std::thread> pool;
+        for (int64_t k = 0; k < T; ++k) {
+            pool.emplace_back([&, k] {
+                auto& c = part[k];
+                c.assign(groups, 0);
+                int64_t r0 = R * k / T, r1 = R * (k + 1) / T;
+                for (int64_t r = r0; r < r1; ++r) {
+                    int64_t span = end[r] - start[r] + 1;
+                    if (start[r] < 0 || span < 1 || span > L) { ok = false; return; }
+                    int64_t w = start[r] / win, t = (start[r] % win) / B;
+                    c[t * W + w]++;
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+        if (!ok) { std::free(counts); return -1; }
+        for (int64_t k = 0; k < T; ++k)
+            for (int64_t g = 0; g < groups; ++g) counts[g] += part[k][g];
+    }
+    int64_t maxc = 0;
+    for (int64_t g = 0; g < groups; ++g) maxc = std::max<int64_t>(maxc, counts[g]);
+    int64_t cap = std::max<int64_t>(cap_multiple,
+                                    (maxc + cap_multiple - 1) / cap_multiple *
+                                        cap_multiple);
+
+    int32_t* packed = static_cast<int32_t*>(
+        std::malloc(sizeof(int32_t) * std::max<int64_t>(groups * cap, 1)));
+    if (!packed) { std::free(counts); return -1; }
+
+    // placement: partition the GENOME (t-ranges) across threads; each scans
+    // every read but touches only its own packed slice — parallel first-touch
+    // page population plus better write locality on slow-fault VMs
+    {
+        std::vector<std::thread> pool;
+        for (int64_t k = 0; k < T; ++k) {
+            pool.emplace_back([&, k] {
+                int64_t t0 = nbw * k / T, t1 = nbw * (k + 1) / T;
+                if (t0 == t1) return;
+                std::memset(packed + t0 * W * cap, 0xFF,
+                            sizeof(int32_t) * (t1 - t0) * W * cap);
+                std::vector<int32_t> fill((t1 - t0) * W, 0);
+                for (int64_t r = 0; r < R; ++r) {
+                    int64_t w = start[r] / win, t = (start[r] % win) / B;
+                    if (t < t0 || t >= t1) continue;
+                    int64_t g = t * W + w;
+                    int64_t start_rel = start[r] % B;
+                    int64_t span = end[r] - start[r] + 1;
+                    packed[g * cap + fill[g - t0 * W]++] =
+                        (int32_t)(start_rel * L + (span - 1));
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    *out_packed = packed;
+    *out_counts = counts;
+    *out_win = win;
+    *out_cap = cap;
+    return 0;
+}
+
+extern "C" void gd_free_i32(int32_t* p) { std::free(p); }

@@ -53,6 +53,7 @@ def pack_blocked(
     block: int,
     max_span: int,
     cap_multiple: int = 256,
+    use_native: bool = True,
 ):
     """Bucket reads into per-(block, window) padded code lists (host side).
 
@@ -73,6 +74,12 @@ def pack_blocked(
     span = end - start + 1
     if span.size and int(span.max()) > L:
         raise ValueError(f"read span {int(span.max())} exceeds max_span={L}")
+
+    if use_native and start.size:
+        try:
+            return _pack_blocked_native(start, end, n, W, B, L, cap_multiple)
+        except OSError:  # native lib unavailable: numpy fallback below
+            pass
 
     w_id = start // win
     t_id = (start % win) // B
@@ -97,6 +104,51 @@ def pack_blocked(
     packed[t_s, w_s, rank] = code[order]
     counts = counts_flat.reshape(nbw, W)
     return packed, counts, win, n_pad
+
+
+def _pack_blocked_native(start, end, n, W, B, L, cap_multiple):
+    """C counting-sort packing (io/csrc/greedy.cpp gd_pack_blocked) — the
+    numpy argsort path costs minutes at 10M+ reads on slow-fault VMs."""
+    import ctypes
+
+    from genome_downsampler_tpu.io.build import build_bamio
+
+    lib = ctypes.CDLL(str(build_bamio()))
+    lib.gd_pack_blocked.restype = ctypes.c_int64
+    lib.gd_pack_blocked.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.gd_free_i32.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+    s = np.ascontiguousarray(start, np.int64)
+    e = np.ascontiguousarray(end, np.int64)
+    p_packed = ctypes.POINTER(ctypes.c_int32)()
+    p_counts = ctypes.POINTER(ctypes.c_int32)()
+    win = ctypes.c_int64()
+    cap = ctypes.c_int64()
+    rc = lib.gd_pack_blocked(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        s.shape[0], n, W, B, L, cap_multiple, 8,
+        ctypes.byref(p_packed), ctypes.byref(p_counts),
+        ctypes.byref(win), ctypes.byref(cap),
+    )
+    if rc != 0:
+        raise ValueError("gd_pack_blocked: invalid reads (span/start bounds)")
+    try:
+        nbw = win.value // B
+        packed = np.ctypeslib.as_array(
+            p_packed, shape=(nbw, W, cap.value)
+        ).copy()
+        counts = np.ctypeslib.as_array(p_counts, shape=(nbw, W)).copy()
+    finally:
+        lib.gd_free_i32(p_packed)
+        lib.gd_free_i32(p_counts)
+    return packed, counts, win.value, W * win.value
 
 
 def _blocked_kernel(
