@@ -431,6 +431,92 @@ struct PendingRead {
     bool is_first;
 };
 
+// Open-addressing QNAME -> PendingRead map: 64-bit FNV-1a fingerprint with
+// exact name verification from an append-only byte pool. Replaces
+// std::unordered_map<std::string, PendingRead>, whose per-key allocations
+// dominated BAM parsing (the reference leans on htslib + a std::map,
+// bam_api.cpp:428-470). erase() is O(1) via tombstone-free backshift-less
+// "emptied" marking: slots are never reused within one file pass, which is
+// fine because each QNAME appears at most twice (mate pairs).
+struct QnameMap {
+    struct Slot {
+        uint64_t hash = 0;   // 0 = empty
+        uint32_t name_off = 0;
+        uint32_t name_len = 0;
+        uint8_t state = 0;   // 0 empty, 1 live, 2 consumed
+        PendingRead read;
+    };
+    std::vector<Slot> slots;
+    std::vector<char> pool;
+    size_t live = 0, used = 0, mask = 0;
+
+    explicit QnameMap(size_t expected = 1 << 16) {
+        size_t cap = 64;
+        while (cap < expected * 2) cap <<= 1;
+        slots.resize(cap);
+        mask = cap - 1;
+        pool.reserve(expected * 16);
+    }
+
+    static uint64_t fnv1a(const char* s, size_t len) {
+        uint64_t h = 1469598103934665603ull;
+        for (size_t i = 0; i < len; ++i) {
+            h ^= (uint8_t)s[i];
+            h *= 1099511628211ull;
+        }
+        return h ? h : 1;  // reserve 0 for "empty"
+    }
+
+    void grow() {
+        std::vector<Slot> old;
+        old.swap(slots);
+        slots.resize(old.size() * 2);
+        mask = slots.size() - 1;
+        used = 0;
+        size_t live_before = live;
+        live = 0;
+        for (auto& s : old) {
+            if (s.state != 1) continue;
+            size_t i = s.hash & mask;
+            while (slots[i].state != 0) i = (i + 1) & mask;
+            slots[i] = s;
+            used++;
+            live++;
+        }
+        (void)live_before;
+    }
+
+    // Returns the stored mate and erases it, or nullptr after inserting.
+    PendingRead* find_or_insert(const char* name, size_t len,
+                                const PendingRead& r, PendingRead* out) {
+        if ((used + 1) * 10 >= slots.size() * 7) grow();
+        uint64_t h = fnv1a(name, len);
+        size_t i = h & mask;
+        while (true) {
+            Slot& s = slots[i];
+            if (s.state == 0) {
+                s.hash = h;
+                s.name_off = (uint32_t)pool.size();
+                s.name_len = (uint32_t)len;
+                s.state = 1;
+                s.read = r;
+                pool.insert(pool.end(), name, name + len);
+                used++;
+                live++;
+                return nullptr;
+            }
+            if (s.state == 1 && s.hash == h && s.name_len == len &&
+                std::memcmp(pool.data() + s.name_off, name, len) == 0) {
+                *out = s.read;
+                s.state = 2;  // consumed; slot stays as a probe bridge
+                live--;
+                return out;
+            }
+            i = (i + 1) & mask;
+        }
+    }
+};
+
 struct Amp {
     int64_t start, end;
     bool includes(int64_t s, int64_t e) const { return start <= s && e <= end; }
@@ -504,7 +590,7 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
     std::vector<uint8_t> v_first, v_amp;
     std::vector<uint8_t> accepted;     // per scanned record (ordinal mode)
     std::vector<int64_t> scanned_ids;  // per scanned record (region mode)
-    std::unordered_map<std::string, PendingRead> pending;
+    QnameMap pending;
     std::vector<uint8_t> rec;
     int64_t ordinal = 0, n_scanned = 0;
 
@@ -541,13 +627,11 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
         PendingRead cur{rec_id, pos, pos + cigar_rlen(cigar, n_cigar) - 1,
                         mapq, l_seq, (flag & 0x40) != 0};
         (void)scan_idx;
-        std::string key(qname, l_read_name ? l_read_name - 1 : 0);
-        auto it = pending.find(key);
-        if (it == pending.end()) {
-            pending.emplace(std::move(key), cur);
+        PendingRead mate;
+        if (!pending.find_or_insert(
+                qname, l_read_name ? l_read_name - 1 : 0, cur, &mate))
             continue;
-        }
-        PendingRead r1 = it->second;  // first seen stays in the map
+        PendingRead r1 = mate;  // first seen came from the map
         PendingRead r2 = cur;
         bool drop = r1.mapq < min_mapq || r2.mapq < min_mapq ||
                     r1.l_seq < (int32_t)min_len || r2.l_seq < (int32_t)min_len;

@@ -156,19 +156,21 @@ def _blocked_kernel(
                   #   (block, window), flattened 1-D (2-D SMEM pads the lane
                   #   axis to 128 and overflows SMEM at large nbw)
     packed_ref,   # int32[1, W, cap] VMEM — read codes
-    target_ref,   # int32[B, W]   VMEM — capped coverage targets (transposed:
-                  #   dynamic per-position access must ride the sublane axis)
+    target_ref,   # int32[W, B]   VMEM — capped coverage targets
     avail0_ref,   # int32[W, L]   VMEM — carry-in (relaxation round seed)
     selend0_ref,  # int32[W, L]   VMEM
-    out_ref,      # int32[B, W]   VMEM — selected count per end position (transposed)
+    out_ref,      # int32[W, B]   VMEM — selected count per end position
     availf_ref,   # int32[W, L]   VMEM — carry-out
     selendf_ref,  # int32[W, L]   VMEM
     tile_s,       # f32[W, B, L]  VMEM scratch — per-window histogram tile
     avail_s,      # int32[W, L]   VMEM scratch — state between grid steps
     selend_s,     # int32[W, L]   VMEM scratch
+    tgt_s,        # int32[B, W]   VMEM scratch — block-transposed target
+    out_s,        # int32[B, W]   VMEM scratch — block-transposed output
     *,
     block: int,
     chunk: int,
+    static_chunks: bool,
 ):
     t = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -180,14 +182,27 @@ def _blocked_kernel(
         avail_s[:] = avail0_ref[:]
         selend_s[:] = selend0_ref[:]
 
+    # per-position access needs positions on the SUBLANE axis, but keeping
+    # (win, W) arrays in HBM would pad the 8-lane minor dim to 128 (16x
+    # memory). So HBM stays (W, win) and each (W, B) block transposes once
+    # into VMEM scratch here.
+    tgt_s[:] = jnp.swapaxes(target_ref[:, :], 0, 1)
+
     # --- build this block's (B, L) histogram tile per window (MXU) ---
     # codes live on the lane axis; the two one-hots compare a broadcast
     # (1, C) code row against sublane iotas, then contract over C
     row_b = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
     row_l = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
+    cap = packed_ref.shape[2]
     for w in range(W):  # static unroll
-        cnt = counts_ref[t * W + w]
-        nch = (cnt + C - 1) // C
+        if static_chunks:
+            # all cap/C chunks always run; sentinel codes add nothing.
+            # Needed when per-group counts would overflow SMEM (large nbw):
+            # counts_ref is a dummy then
+            nch = cap // C
+        else:
+            cnt = counts_ref[t * W + w]
+            nch = (cnt + C - 1) // C
 
         def chunk_body(j, _, w=w):
             codes = packed_ref[0, w : w + 1, pl.ds(j * C, C)]  # (1, C) int32
@@ -201,6 +216,13 @@ def _blocked_kernel(
                 preferred_element_type=jnp.float32,
             )
 
+            if isinstance(j, int):  # static unroll: plain python branch
+                if j == 0:
+                    tile_s[w] = part
+                else:
+                    tile_s[w] = tile_s[w] + part
+                return 0
+
             @pl.when(j == 0)
             def _():
                 tile_s[w] = part
@@ -211,11 +233,15 @@ def _blocked_kernel(
 
             return 0
 
-        @pl.when(nch == 0)
-        def _(w=w):
-            tile_s[w] = jnp.zeros((B, L), jnp.float32)
+        if static_chunks:
+            for j in range(nch):
+                chunk_body(j, 0)
+        else:
+            @pl.when(nch == 0)
+            def _(w=w):
+                tile_s[w] = jnp.zeros((B, L), jnp.float32)
 
-        jax.lax.fori_loop(0, nch, chunk_body, 0)
+            jax.lax.fori_loop(0, nch, chunk_body, 0)
 
     # --- the water-filling sweep over B positions, all W windows at once ---
     zero_last = (
@@ -234,7 +260,7 @@ def _blocked_kernel(
         add = tile_s[:, pl.ds(i, 1), :].reshape(W, L).astype(jnp.int32)
         avail = avail_in + add
         cur = jnp.sum(selend, axis=1, keepdims=True)  # (W, 1)
-        tgt_row = target_ref[pl.ds(i, 1), :]  # (1, W)
+        tgt_row = tgt_s[pl.ds(i, 1), :]  # (1, W)
         tgt = jnp.sum(
             jnp.where(eye, jnp.broadcast_to(tgt_row, (W, W)), 0),
             axis=1,
@@ -256,7 +282,7 @@ def _blocked_kernel(
             axis=0,
             keepdims=True,
         )  # (1, W)
-        out_ref[pl.ds(i, 1), :] = emitted
+        out_s[pl.ds(i, 1), :] = emitted
         return (
             pltpu.roll(avail2, L - 1, 1) * zero_last,
             pltpu.roll(selend2, L - 1, 1) * zero_last,
@@ -267,6 +293,7 @@ def _blocked_kernel(
     )
     avail_s[:] = avail_f
     selend_s[:] = selend_f
+    out_ref[:, :] = jnp.swapaxes(out_s[:, :], 0, 1)
 
     @pl.when(t == nb - 1)
     def _():
@@ -276,7 +303,10 @@ def _blocked_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_windows", "block", "max_span", "chunk", "interpret"),
+    static_argnames=(
+        "n_windows", "block", "max_span", "chunk", "interpret",
+        "static_chunks",
+    ),
 )
 def blocked_sweep_pass(
     packed: jax.Array,   # int32[nbw, cap, W]
@@ -289,13 +319,23 @@ def blocked_sweep_pass(
     max_span: int,
     chunk: int = 256,
     interpret: bool = False,
+    static_chunks: bool = False,
 ):
     """One relaxation round: sweep all W windows in parallel with the given
-    carry seeds. Returns ``(sel[W, win], availf[W, L], selendf[W, L])``."""
+    carry seeds. Returns ``(sel[W, win], availf[W, L], selendf[W, L])``.
+
+    ``static_chunks=True`` runs all ``cap // chunk`` code chunks for every
+    (block, window) unconditionally (sentinels contribute nothing) and
+    ignores ``counts`` — required when ``nbw * W`` counts would overflow
+    SMEM (chr1-scale grids), free when ``cap == chunk``."""
     W, B, L = n_windows, block, max_span
     nbw, Wp, cap = packed.shape
-    assert Wp == W and counts.shape == (nbw, W)
-    counts_flat = counts.reshape(nbw * W)
+    assert Wp == W
+    if static_chunks:
+        counts_flat = jnp.zeros(1, jnp.int32)
+    else:
+        assert counts.shape == (nbw, W)
+        counts_flat = counts.reshape(nbw * W)
     win = nbw * B
     assert target.shape == (W, win)
     assert cap % chunk == 0, (cap, chunk)
@@ -307,12 +347,12 @@ def blocked_sweep_pass(
             pl.BlockSpec(
                 (1, W, cap), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((B, W), lambda t, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, B), lambda t, c: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, W), lambda t, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, B), lambda t, c: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -320,24 +360,32 @@ def blocked_sweep_pass(
             pltpu.VMEM((W, B, L), jnp.float32),
             pltpu.VMEM((W, L), jnp.int32),
             pltpu.VMEM((W, L), jnp.int32),
+            pltpu.VMEM((B, W), jnp.int32),
+            pltpu.VMEM((B, W), jnp.int32),
         ],
     )
-    out_t, availf, selendf = pl.pallas_call(
-        functools.partial(_blocked_kernel, block=B, chunk=chunk),
+    out, availf, selendf = pl.pallas_call(
+        functools.partial(
+            _blocked_kernel, block=B, chunk=chunk,
+            static_chunks=static_chunks,
+        ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((win, W), jnp.int32),
+            jax.ShapeDtypeStruct((W, win), jnp.int32),
             jax.ShapeDtypeStruct((W, L), jnp.int32),
             jax.ShapeDtypeStruct((W, L), jnp.int32),
         ],
         interpret=interpret,
-    )(counts_flat, packed, target.T, avail0, selend0)
-    return out_t.T, availf, selendf
+    )(counts_flat, packed, target, avail0, selend0)
+    return out, availf, selendf
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_windows", "block", "max_span", "chunk", "interpret"),
+    static_argnames=(
+        "n_windows", "block", "max_span", "chunk", "interpret",
+        "static_chunks",
+    ),
 )
 def blocked_windowed_sweep(
     packed: jax.Array,
@@ -348,6 +396,7 @@ def blocked_windowed_sweep(
     max_span: int,
     chunk: int = 256,
     interpret: bool = False,
+    static_chunks: bool = False,
 ):
     """Exact global sweep via carry relaxation over the blocked kernel.
 
@@ -362,7 +411,7 @@ def blocked_windowed_sweep(
     def passes(a_in, s_in):
         return blocked_sweep_pass(
             packed, counts, target, a_in, s_in,
-            n_windows, block, max_span, chunk, interpret,
+            n_windows, block, max_span, chunk, interpret, static_chunks,
         )
 
     def shift(c_out):
