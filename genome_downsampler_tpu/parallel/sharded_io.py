@@ -48,6 +48,92 @@ def bam_genome_length(path: Path | str) -> int:
     return batch.ref_genome_length
 
 
+def _solve_blocked_on_mesh(
+    mesh,
+    start_local: np.ndarray,  # starts relative to lo_w, within [0, local_n)
+    end_local: np.ndarray,
+    target_local: np.ndarray,  # int32[local_n]
+    lo_w: int,
+    local_n: int,
+    win_b: int,
+    w_local: int,
+    block: int,
+    max_span: int,
+) -> np.ndarray:
+    """Blocked-engine mesh solve for the sharded pipeline: O(R/D) packed
+    codes per device. Returns sel_per_end for this process's positions."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from genome_downsampler_tpu.ops.pallas_blocked import pack_blocked
+    from genome_downsampler_tpu.parallel.blocked_mesh import (
+        make_blocked_mesh_solver,
+    )
+
+    n_dev = mesh.shape["x"]
+    w_total = n_dev * w_local
+    local_windows = local_n // win_b
+    packed_l, counts_l, win_chk, _ = pack_blocked(
+        start_local, end_local, local_n, local_windows, block, max_span
+    )
+    assert win_chk == win_b, (win_chk, win_b)
+    nbw = packed_l.shape[0]
+
+    # capacities must agree across processes: allgather the max and pad
+    cap_local = np.int32(packed_l.shape[2])
+    caps = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(cap_local))
+    ).reshape(-1)
+    cap = int(caps.max())
+    if cap > packed_l.shape[2]:
+        packed_l = np.pad(
+            packed_l,
+            ((0, 0), (0, 0), (0, cap - packed_l.shape[2])),
+            constant_values=-1,
+        )
+
+    fn, packed_sh, counts_sh, target_sh = make_blocked_mesh_solver(
+        mesh, nbw, cap, win_b,
+        n_windows_local=w_local, block=block, max_span=max_span,
+        interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+    )
+    w0 = (lo_w // win_b)  # first global window owned by this process
+
+    def packed_cb(idx):
+        ws = idx[1].start or 0
+        return packed_l[:, ws - w0 : ws - w0 + w_local, :]
+
+    def counts_cb(idx):
+        ws = idx[1].start or 0
+        return counts_l[:, ws - w0 : ws - w0 + w_local]
+
+    def target_cb(idx):
+        ws = idx[0].start or 0
+        return target_local.reshape(local_windows, win_b)[
+            ws - w0 : ws - w0 + w_local
+        ]
+
+    packed = jax.make_array_from_callback(
+        (nbw, w_total, cap), packed_sh, packed_cb
+    )
+    counts = jax.make_array_from_callback(
+        (nbw, w_total), counts_sh, counts_cb
+    )
+    target = jax.make_array_from_callback(
+        (w_total, win_b), target_sh, target_cb
+    )
+    sel = fn(packed, counts, target)
+
+    sel_local = np.zeros(local_n, np.int64)
+    for shard in sel.addressable_shards:
+        ws = shard.index[0].start or 0
+        data = np.asarray(shard.data).reshape(-1)
+        off = (ws - w0) * win_b
+        sel_local[off : off + data.shape[0]] = data
+    return sel_local
+
+
 def run_sharded(
     path: Path | str,
     max_coverage: int,
@@ -55,12 +141,20 @@ def run_sharded(
     out_path: Path | str | None = None,
     halo: int = 2_000,
     max_span: int = 256,
+    engine: str = "auto",
+    block: int = 256,
+    windows_per_device: int = 8,
 ) -> np.ndarray:
     """Sharded downsampling across all processes/devices of the jax job.
 
     Returns the merged selected+paired voffsets (all processes); process 0
     additionally writes ``out_path`` when given. Requires a
     coordinate-sorted input; uses ``<path>.bai`` when present.
+
+    ``engine``: "dense" materializes per-device (win, L) rows (fast for
+    small windows); "blocked" uses the O(R/D) packed-code kernel with
+    ``windows_per_device`` sublane windows per device (the only feasible
+    engine for chr1-class windows); "auto" picks by window memory.
     """
     import jax
     import jax.numpy as jnp
@@ -80,8 +174,26 @@ def run_sharded(
     n = bam_genome_length(path)
     mesh = global_window_mesh()
     n_dev = mesh.shape["x"]
-    win = max(-(-n // n_dev), max_span)
-    n_pad = win * n_dev
+    if engine == "auto":
+        # dense rows for a device window cost win * L * 4 bytes
+        engine = (
+            "dense"
+            if (-(-n // n_dev)) * max_span * 4 <= 256 * 1024 * 1024
+            else "blocked"
+        )
+    if engine == "blocked":
+        w_total = n_dev * windows_per_device
+        win_b = -(-(-(-n // w_total)) // block) * block
+        if win_b < max_span:
+            raise ValueError(
+                f"blocked window {win_b} < max_span {max_span}; lower "
+                "windows_per_device"
+            )
+        win = windows_per_device * win_b  # per-device span
+        n_pad = w_total * win_b
+    else:
+        win = max(-(-n // n_dev), max_span)
+        n_pad = win * n_dev
 
     # this process's device windows form one contiguous range
     my_devs = [
@@ -105,11 +217,9 @@ def run_sharded(
             f"read span {int(span.max())} exceeds max_span={max_span}"
         )
 
-    # local rows/target covering this process's windows
+    # local target covering this process's windows
     local_n = hi_w - lo_w
-    rows_local = np.zeros((local_n, max_span), np.int32)
     in_win = (start >= lo_w) & (start < hi_w)
-    np.add.at(rows_local, (start[in_win] - lo_w, span[in_win] - 1), 1)
     cov = np.zeros(local_n + max_span + 1, np.int64)
     s_rel = np.clip(start - lo_w, -max_span, local_n)
     e_rel = np.clip(end - lo_w + 1, -max_span, local_n)
@@ -120,26 +230,37 @@ def run_sharded(
         np.cumsum(cov)[:local_n], max_coverage
     ).astype(np.int32)
 
-    fn, rows_sh, tgt_sh = make_mesh_solver(mesh, n_pad, max_span)
+    if engine == "blocked":
+        sel_local = _solve_blocked_on_mesh(
+            mesh, start[in_win] - lo_w, end[in_win] - lo_w, target_local,
+            lo_w, local_n, win_b, windows_per_device, block, max_span,
+        )
+    else:
+        rows_local = np.zeros((local_n, max_span), np.int32)
+        np.add.at(rows_local, (start[in_win] - lo_w, span[in_win] - 1), 1)
 
-    def rows_cb(idx):
-        g0 = idx[0].start or 0
-        return rows_local[g0 - lo_w : g0 - lo_w + win]
+        fn, rows_sh, tgt_sh = make_mesh_solver(mesh, n_pad, max_span)
 
-    def tgt_cb(idx):
-        g0 = idx[0].start or 0
-        return target_local[g0 - lo_w : g0 - lo_w + win]
+        def rows_cb(idx):
+            g0 = idx[0].start or 0
+            return rows_local[g0 - lo_w : g0 - lo_w + win]
 
-    rows = jax.make_array_from_callback((n_pad, max_span), rows_sh, rows_cb)
-    target = jax.make_array_from_callback((n_pad,), tgt_sh, tgt_cb)
-    sel = fn(rows, target)
+        def tgt_cb(idx):
+            g0 = idx[0].start or 0
+            return target_local[g0 - lo_w : g0 - lo_w + win]
 
-    # local shard of sel_per_end -> end-owned reconstruction
-    sel_local = np.zeros(local_n, np.int64)
-    for shard in sel.addressable_shards:
-        g0 = shard.index[0].start or 0
-        data = np.asarray(shard.data).reshape(-1)
-        sel_local[g0 - lo_w : g0 - lo_w + data.shape[0]] = data
+        rows = jax.make_array_from_callback(
+            (n_pad, max_span), rows_sh, rows_cb
+        )
+        target = jax.make_array_from_callback((n_pad,), tgt_sh, tgt_cb)
+        sel = fn(rows, target)
+
+        # local shard of sel_per_end -> end-owned reconstruction
+        sel_local = np.zeros(local_n, np.int64)
+        for shard in sel.addressable_shards:
+            g0 = shard.index[0].start or 0
+            data = np.asarray(shard.data).reshape(-1)
+            sel_local[g0 - lo_w : g0 - lo_w + data.shape[0]] = data
 
     # reconstruct over reads whose END lies in our windows; positions use
     # local coordinates (end - lo_w)

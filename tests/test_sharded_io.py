@@ -58,3 +58,19 @@ def test_run_sharded_output_valid_and_matches_solver(
     assert np.all(np.minimum(ci, m) <= co)
     assert sel_b.n_reads == len(merged)
     assert sel_b.n_reads < full.n_reads  # actually downsampled
+
+
+def test_run_sharded_blocked_engine_matches_dense(
+    sorted_indexed_bam, tmp_path
+):
+    cfg = BamApiConfig(min_mapq=0, min_seq_length=0)
+    m = 6
+    dense = run_sharded(
+        sorted_indexed_bam, m, cfg, None, halo=1024, max_span=128,
+        engine="dense",
+    )
+    blocked = run_sharded(
+        sorted_indexed_bam, m, cfg, tmp_path / "out_b.bam", halo=1024,
+        max_span=128, engine="blocked", block=64, windows_per_device=2,
+    )
+    np.testing.assert_array_equal(dense, blocked)
