@@ -332,6 +332,135 @@ struct ConvexCostScaling {
     }
 };
 
+// Successive shortest paths on the convex-arc graph. For this problem the
+// total supply equals the positive variation of the capped-coverage target
+// (a few thousand for flat targets, independent of read count), so SSP's
+// O(F * Dijkstra) beats eps-scaling's repeated whole-graph refine phases by
+// an order of magnitude on typical inputs. Potentials keep reduced
+// marginals nonnegative (Johnson); each augmentation moves the full
+// equal-marginal run along the path, so convexity is preserved.
+struct ConvexSSP {
+    ConvexCostScaling& g;  // reuse graph storage + accessors (eps unused)
+    explicit ConvexSSP(ConvexCostScaling& s) : g(s) {}
+
+    std::vector<int64_t> pi, dist;
+    std::vector<int32_t> parent;  // adjacency entry x leading into node
+    std::vector<uint8_t> done;
+
+    // forward residual units sharing the current marginal cost (the safe
+    // augmentation amount on entry x)
+    int64_t run_at_marginal(int32_t x) const {
+        int32_t a = x >> 1;
+        int64_t off = g.cost_off[a];
+        if (off < 0)
+            return g.resid_of(x);  // constant cost: whole residual
+        if (x & 1) {
+            int64_t f = g.flow[a];
+            int64_t c = g.cost_pool[off + f - 1];
+            int64_t lo = 0, hi = f - 1;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) / 2;
+                if (g.cost_pool[off + mid] == c) hi = mid;
+                else lo = mid + 1;
+            }
+            return f - lo;
+        }
+        int64_t f = g.flow[a], cap = g.cap[a];
+        int64_t c = g.cost_pool[off + f];
+        int64_t lo = f, hi = cap;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (g.cost_pool[off + mid] == c) lo = mid + 1;
+            else hi = mid;
+        }
+        return lo - f;
+    }
+
+    bool run() {
+        const int32_t N = g.N;
+        pi.assign(N, 0);
+        int64_t excess_total = 0;
+        for (int32_t u = 0; u < N; ++u)
+            if (g.excess[u] > 0) excess_total += g.excess[u];
+        const bool stats = std::getenv("GD_MCMF_STATS") != nullptr;
+        auto t0 = std::chrono::steady_clock::now();
+        int64_t n_aug = 0, n_pops = 0, supply0 = excess_total;
+
+        using QE = std::pair<int64_t, int32_t>;
+        while (excess_total > 0) {
+            n_aug++;
+            // multi-source Dijkstra from all excess nodes to the nearest
+            // deficit, on reduced marginal costs (>= 0 by invariant)
+            dist.assign(N, INF64);
+            parent.assign(N, -1);
+            done.assign(N, 0);
+            std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+            for (int32_t u = 0; u < N; ++u)
+                if (g.excess[u] > 0) { dist[u] = 0; pq.push({0, u}); }
+            int32_t sink = -1;
+            int64_t d_sink = 0;
+            while (!pq.empty()) {
+                auto [d, u] = pq.top();
+                pq.pop();
+                if (done[u]) continue;
+                done[u] = 1;
+                if (g.excess[u] < 0) { sink = u; d_sink = d; break; }
+                for (int32_t x = g.adj_first[u]; x != -1; x = g.adj_next[x]) {
+                    if (g.resid_of(x) <= 0) continue;
+                    int32_t v = g.to_of(x);
+                    if (done[v]) continue;
+                    int64_t rc = g.marg_of(x) + pi[u] - pi[v];
+                    // rc >= 0 modulo clamping noise; guard for safety
+                    int64_t nd = d + (rc > 0 ? rc : 0);
+                    if (nd < dist[v]) {
+                        dist[v] = nd;
+                        parent[v] = x;
+                        pq.push({nd, v});
+                    }
+                }
+            }
+            if (sink < 0) return false;  // no augmenting path: infeasible
+            // potentials: settled nodes by their distance, frontier by d_sink
+            for (int32_t u = 0; u < N; ++u)
+                pi[u] += std::min(done[u] ? dist[u] : d_sink, d_sink);
+
+            // bottleneck along the path (and endpoint excess/deficit)
+            int64_t delta = -g.excess[sink];
+            int32_t v = sink;
+            int32_t src = sink;
+            while (parent[v] != -1) {
+                int32_t x = parent[v];
+                delta = std::min(delta, run_at_marginal(x));
+                v = g.is_fwd(x) ? g.tail[x >> 1] : g.head[x >> 1];
+                src = v;
+            }
+            delta = std::min(delta, g.excess[src]);
+            // apply
+            v = sink;
+            while (parent[v] != -1) {
+                int32_t x = parent[v];
+                int32_t a = x >> 1;
+                g.flow[a] += g.is_fwd(x) ? delta : -delta;
+                v = g.is_fwd(x) ? g.tail[a] : g.head[a];
+            }
+            g.excess[src] -= delta;
+            g.excess[sink] += delta;
+            excess_total -= delta;
+            n_pops += 0;  // pops counted below if stats
+        }
+        if (stats) {
+            double ms = std::chrono::duration<double, std::milli>(
+                            std::chrono::steady_clock::now() - t0)
+                            .count();
+            std::fprintf(stderr,
+                         "[mcmf-ssp] supply=%lld augmentations=%lld "
+                         "total=%.0fms\n",
+                         (long long)supply0, (long long)n_aug, ms);
+        }
+        return true;
+    }
+};
+
 // Build + solve. Buckets: distinct (start, end) with sorted per-unit costs
 // pool[off[b] .. off[b+1]). flows[b] = selected units. Returns false on
 // invalid/infeasible input.
@@ -413,7 +542,23 @@ bool solve_convex(
         }
     s.finish_graph();
 
-    if (!s.run(max_c * s.scale)) return false;
+    // engine dispatch: SSP cost is O(total_supply * Dijkstra) — total
+    // supply is the positive variation of the capped target, typically a
+    // few thousand regardless of read count — while cost-scaling refines
+    // the whole graph log(C*N) times. Use SSP unless the supply is large
+    // (oscillating targets). GD_MCMF_ENGINE=scale|ssp overrides.
+    int64_t pos_supply = 0;
+    for (int32_t u = 0; u < s.N; ++u)
+        if (s.excess[u] > 0) pos_supply += s.excess[u];
+    const char* eng = std::getenv("GD_MCMF_ENGINE");
+    bool use_ssp = eng ? std::strcmp(eng, "ssp") == 0
+                       : pos_supply <= 200000;
+    if (use_ssp) {
+        ConvexSSP ssp(s);
+        if (!ssp.run()) return false;
+    } else {
+        if (!s.run(max_c * s.scale)) return false;
+    }
     for (int64_t b = 0; b < B; ++b) flows[b] = s.flow[b];
     return true;
 }
