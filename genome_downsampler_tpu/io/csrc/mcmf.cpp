@@ -384,7 +384,7 @@ struct ConvexSSP {
             if (g.excess[u] > 0) excess_total += g.excess[u];
         const bool stats = std::getenv("GD_MCMF_STATS") != nullptr;
         auto t0 = std::chrono::steady_clock::now();
-        int64_t n_aug = 0, n_pops = 0, supply0 = excess_total;
+        int64_t n_aug = 0, supply0 = excess_total;
 
         using QE = std::pair<int64_t, int32_t>;
         while (excess_total > 0) {
@@ -446,7 +446,6 @@ struct ConvexSSP {
             g.excess[src] -= delta;
             g.excess[sink] += delta;
             excess_total -= delta;
-            n_pops += 0;  // pops counted below if stats
         }
         if (stats) {
             double ms = std::chrono::duration<double, std::milli>(
