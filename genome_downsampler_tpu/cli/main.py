@@ -77,8 +77,9 @@ def build_parser(registry) -> argparse.ArgumentParser:
                         "and process 0 writes the merged output — "
                         "bit-identical to a single-process run.")
     p.add_argument("--halo", type=int, default=2000,
-                   help="Sharded-mode window overlap; must exceed the "
-                        "maximum mate distance and read span. Default 2000.")
+                   help="Sharded-mode window overlap; must be at least "
+                        "(max read span + max mate start distance) or "
+                        "boundary pairs are dropped. Default 2000.")
     return p
 
 
@@ -138,6 +139,15 @@ def run_downsample(args, registry) -> int:
 
         if args.preprocessing_out:
             _log.error("--preprocessing-out is not supported with --sharded")
+            return 1
+        if args.algorithm not in ("quasi-mcp-cpu", "mcp-cpu", "mcp-tpu",
+                                  "quasi-mcp-tpu", "mcp-tpu-blocked"):
+            _log.error(
+                "--sharded runs the exact MCP sweep; algorithm %r is not "
+                "supported in sharded mode", args.algorithm)
+            return 1
+        if args.windows > 1:
+            _log.error("--windows is implied by --sharded; do not combine")
             return 1
         initialize_distributed()
         start = time.perf_counter()

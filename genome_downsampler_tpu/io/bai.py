@@ -84,6 +84,8 @@ def write_bai(
         np.maximum.accumulate(idx, out=idx)
         ioff = ioff[idx]
         ioff[ioff == nohit] = 0  # leading windows before any record
+    else:
+        ioff = np.zeros(0, np.uint64)
 
     out = bytearray(b"BAI\x01")
     out += struct.pack("<i", n_ref)

@@ -88,6 +88,37 @@ def _to_numpy(ptr, n, dtype):
     return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
 
 
+
+def _unpack_read_result(res, config, mode):
+    """Convert a populated _GdReadResult into (batch, filtered_out,
+    in_single), applying the GRADE quality remap
+    (``apply_amplicon_inclusion_grading``, ``bam_api.cpp:334-347``).
+    Caller still owns/frees ``res``."""
+    n = res.n_reads
+    batch = ReadBatch(
+        bam_id=_to_numpy(res.bam_id, n, np.int64),
+        start=_to_numpy(res.start, n, np.int32),
+        end=_to_numpy(res.end, n, np.int32),
+        quality=_to_numpy(res.quality, n, np.int32),
+        seq_length=_to_numpy(res.seq_length, n, np.int32),
+        is_first=_to_numpy(res.is_first, n, np.uint8).astype(bool),
+        ref_genome_length=res.ref_genome_length,
+    )
+    filtered_out = _to_numpy(res.filtered_out, res.n_filtered_out, np.int64)
+    in_single = _to_numpy(res.in_single_amplicon, n, np.uint8).astype(bool)
+    if (
+        config.amplicon_behaviour == AmpliconBehaviour.GRADE
+        and mode == 2
+        and res.max_mapq_seen > 0
+        and res.min_mapq_seen < 2**31
+    ):
+        lo, hi = int(res.min_mapq_seen), int(res.max_mapq_seen)
+        batch.quality = (
+            batch.quality - lo + np.where(in_single, hi - lo, 0)
+        ).astype(np.int32)
+    return batch, filtered_out, in_single
+
+
 def read_bam(
     path: Path | str, config: BamApiConfig
 ) -> Tuple[ReadBatch, np.ndarray, np.ndarray]:
@@ -116,31 +147,10 @@ def read_bam(
     if rc != 0:
         raise IOError(f"read_bam({path}): {res.error.decode()}")
     try:
-        n = res.n_reads
-        batch = ReadBatch(
-            bam_id=_to_numpy(res.bam_id, n, np.int64),
-            start=_to_numpy(res.start, n, np.int32),
-            end=_to_numpy(res.end, n, np.int32),
-            quality=_to_numpy(res.quality, n, np.int32),
-            seq_length=_to_numpy(res.seq_length, n, np.int32),
-            is_first=_to_numpy(res.is_first, n, np.uint8).astype(bool),
-            ref_genome_length=res.ref_genome_length,
-        )
-        filtered_out = _to_numpy(res.filtered_out, res.n_filtered_out, np.int64)
-        in_single = _to_numpy(res.in_single_amplicon, n, np.uint8).astype(bool)
-        if (
-            config.amplicon_behaviour == AmpliconBehaviour.GRADE
-            and mode == 2
-            and res.max_mapq_seen > 0
-            and res.min_mapq_seen < 2**31
-        ):
-            lo, hi = int(res.min_mapq_seen), int(res.max_mapq_seen)
-            batch.quality = (
-                batch.quality - lo + np.where(in_single, hi - lo, 0)
-            ).astype(np.int32)
+        batch, filtered_out, in_single = _unpack_read_result(res, config, mode)
         _log.debug(
             "BamApi: %d records read, %d imported, %d filtered out",
-            res.total_records, n, len(filtered_out),
+            res.total_records, batch.n_reads, len(filtered_out),
         )
     finally:
         lib.gd_free_read_result(ctypes.byref(res))
@@ -192,31 +202,10 @@ def read_bam_region(
     if rc != 0:
         raise IOError(f"read_bam_region({path}): {res.error.decode()}")
     try:
-        n = res.n_reads
-        batch = ReadBatch(
-            bam_id=_to_numpy(res.bam_id, n, np.int64),
-            start=_to_numpy(res.start, n, np.int32),
-            end=_to_numpy(res.end, n, np.int32),
-            quality=_to_numpy(res.quality, n, np.int32),
-            seq_length=_to_numpy(res.seq_length, n, np.int32),
-            is_first=_to_numpy(res.is_first, n, np.uint8).astype(bool),
-            ref_genome_length=res.ref_genome_length,
-        )
-        filtered_out = _to_numpy(res.filtered_out, res.n_filtered_out, np.int64)
-        in_single = _to_numpy(res.in_single_amplicon, n, np.uint8).astype(bool)
-        if (
-            config.amplicon_behaviour == AmpliconBehaviour.GRADE
-            and mode == 2
-            and res.max_mapq_seen > 0
-            and res.min_mapq_seen < 2**31
-        ):
-            qlo, qhi = int(res.min_mapq_seen), int(res.max_mapq_seen)
-            batch.quality = (
-                batch.quality - qlo + np.where(in_single, qhi - qlo, 0)
-            ).astype(np.int32)
+        batch, filtered_out, in_single = _unpack_read_result(res, config, mode)
         _log.debug(
             "BamApi(region %d-%d): %d records scanned, %d imported",
-            lo, hi, res.total_records, n,
+            lo, hi, res.total_records, batch.n_reads,
         )
     finally:
         lib.gd_free_read_result(ctypes.byref(res))

@@ -606,7 +606,10 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
 
         int32_t ref_id = rd_i32(rec.data());
         int64_t pos = rd_i32(rec.data() + 4);
-        if (region && ref_id == 0 && pos > hi) break;  // sorted: done
+        // sorted input: done past hi, and also once contig 0 is exhausted
+        // (later contigs restart at low positions and never match)
+        if (region && ref_id == 0 && pos > hi) break;
+        if (region && ref_id > 0) break;
         if (region) scanned_ids.push_back(rec_id);
         else accepted.push_back(0);
         size_t scan_idx = n_scanned++;

@@ -251,7 +251,8 @@ extern "C" int64_t gd_pack_blocked(
                 int64_t r0 = R * k / T, r1 = R * (k + 1) / T;
                 for (int64_t r = r0; r < r1; ++r) {
                     int64_t span = end[r] - start[r] + 1;
-                    if (start[r] < 0 || span < 1 || span > L) { ok = false; return; }
+                    if (start[r] < 0 || start[r] >= W * win || span < 1 ||
+                        span > L) { ok = false; return; }
                     int64_t w = start[r] / win, t = (start[r] % win) / B;
                     c[t * W + w]++;
                 }

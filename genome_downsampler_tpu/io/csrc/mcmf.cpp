@@ -345,7 +345,11 @@ struct ConvexSSP {
 
     std::vector<int64_t> pi, dist;
     std::vector<int32_t> parent;  // adjacency entry x leading into node
-    std::vector<uint8_t> done;
+    // generation stamps instead of per-augmentation O(N) clears: an entry
+    // is valid only when its stamp equals the current generation
+    std::vector<int32_t> dist_gen, done_gen;
+    std::vector<int32_t> settled;
+    int32_t gen = 0;
 
     // forward residual units sharing the current marginal cost (the safe
     // augmentation amount on entry x)
@@ -387,42 +391,56 @@ struct ConvexSSP {
         int64_t n_aug = 0, supply0 = excess_total;
 
         using QE = std::pair<int64_t, int32_t>;
+        dist.assign(N, INF64);
+        parent.assign(N, -1);
+        dist_gen.assign(N, -1);
+        done_gen.assign(N, -1);
+        auto dist_of = [&](int32_t u) {
+            return dist_gen[u] == gen ? dist[u] : INF64;
+        };
         while (excess_total > 0) {
             n_aug++;
+            gen++;
             // multi-source Dijkstra from all excess nodes to the nearest
             // deficit, on reduced marginal costs (>= 0 by invariant)
-            dist.assign(N, INF64);
-            parent.assign(N, -1);
-            done.assign(N, 0);
             std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
             for (int32_t u = 0; u < N; ++u)
-                if (g.excess[u] > 0) { dist[u] = 0; pq.push({0, u}); }
+                if (g.excess[u] > 0) {
+                    dist[u] = 0;
+                    dist_gen[u] = gen;
+                    pq.push({0, u});
+                }
             int32_t sink = -1;
             int64_t d_sink = 0;
+            settled.clear();
             while (!pq.empty()) {
                 auto [d, u] = pq.top();
                 pq.pop();
-                if (done[u]) continue;
-                done[u] = 1;
+                if (done_gen[u] == gen) continue;
+                done_gen[u] = gen;
+                settled.push_back(u);
                 if (g.excess[u] < 0) { sink = u; d_sink = d; break; }
                 for (int32_t x = g.adj_first[u]; x != -1; x = g.adj_next[x]) {
                     if (g.resid_of(x) <= 0) continue;
                     int32_t v = g.to_of(x);
-                    if (done[v]) continue;
+                    if (done_gen[v] == gen) continue;
                     int64_t rc = g.marg_of(x) + pi[u] - pi[v];
                     // rc >= 0 modulo clamping noise; guard for safety
                     int64_t nd = d + (rc > 0 ? rc : 0);
-                    if (nd < dist[v]) {
+                    if (nd < dist_of(v)) {
                         dist[v] = nd;
+                        dist_gen[v] = gen;
                         parent[v] = x;
                         pq.push({nd, v});
                     }
                 }
             }
             if (sink < 0) return false;  // no augmenting path: infeasible
-            // potentials: settled nodes by their distance, frontier by d_sink
-            for (int32_t u = 0; u < N; ++u)
-                pi[u] += std::min(done[u] ? dist[u] : d_sink, d_sink);
+            // potentials: textbook SSP adds min(dist, d_sink) to every
+            // node; adding the constant d_sink to ALL nodes cancels in the
+            // reduced-cost differences, so only settled nodes (whose delta
+            // is dist[u] - d_sink) need touching — O(|settled|), not O(N)
+            for (int32_t u : settled) pi[u] += dist[u] - d_sink;
 
             // bottleneck along the path (and endpoint excess/deficit)
             int64_t delta = -g.excess[sink];

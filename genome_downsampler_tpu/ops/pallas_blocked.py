@@ -309,7 +309,7 @@ def _blocked_kernel(
     ),
 )
 def blocked_sweep_pass(
-    packed: jax.Array,   # int32[nbw, cap, W]
+    packed: jax.Array,   # int32[nbw, W, cap]
     counts: jax.Array,   # int32[nbw, W]
     target: jax.Array,   # int32[W, win]
     avail0: jax.Array,   # int32[W, L]

@@ -6,9 +6,10 @@ The chr1-scale multi-host pipeline (BASELINE.md config 5). Per process:
 1. **Read a region, not the file.** Each process looks up its genome
    window in the BAM index and reads ``[window_lo - halo, window_hi +
    halo]`` via ``io.bam.read_bam_region`` (record ids = BGZF virtual
-   offsets). ``halo`` must exceed the maximum mate distance and the maximum
-   read span, so every read relevant to the window (coverage contributors,
-   end-owned reads, mates) is locally available.
+   offsets). ``halo`` must be at least the maximum read span PLUS the
+   maximum mate start distance: an end-owned read can start up to max_span
+   left of the window and its mate up to the mate distance before that —
+   both must fall in the scanned region or the boundary pair is dropped.
 2. **Solve on the global device mesh.** Local windows' read-start rows and
    capped-coverage targets are placed shard-by-shard with
    ``jax.make_array_from_callback`` (no host ever holds the whole genome)
@@ -149,7 +150,9 @@ def run_sharded(
 
     Returns the merged selected+paired voffsets (all processes); process 0
     additionally writes ``out_path`` when given. Requires a
-    coordinate-sorted input; uses ``<path>.bai`` when present.
+    coordinate-sorted input; uses ``<path>.bai`` when present. ``halo``
+    must be at least max_span + the maximum mate start distance (see the
+    module docstring).
 
     ``engine``: "dense" materializes per-device (win, L) rows (fast for
     small windows); "blocked" uses the O(R/D) packed-code kernel with
@@ -168,8 +171,13 @@ def run_sharded(
     )
 
     config = config or BamApiConfig()
-    if halo < max_span:
-        raise ValueError(f"halo {halo} must be >= max_span {max_span}")
+    if halo < 2 * max_span:
+        # the true requirement is max_span + max mate start distance, which
+        # is unknowable here; 2*max_span is the weakest sane lower bound
+        raise ValueError(
+            f"halo {halo} must be >= 2 * max_span = {2 * max_span} "
+            "(and >= max_span + max mate start distance)"
+        )
 
     n = bam_genome_length(path)
     mesh = global_window_mesh()
