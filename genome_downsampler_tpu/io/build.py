@@ -6,6 +6,7 @@ first time it is needed (or when the source is newer than the cached .so).
 
 from __future__ import annotations
 
+import os
 import subprocess
 from pathlib import Path
 
@@ -15,6 +16,10 @@ _SO = Path(__file__).parent / "_bamio.so"
 
 
 def build_bamio(force: bool = False) -> Path:
+    # escape hatch for instrumented builds (scripts/run_asan.sh)
+    override = os.environ.get("GD_BAMIO_SO")
+    if override:
+        return Path(override)
     newest_src = max(s.stat().st_mtime for s in _SRCS)
     if not force and _SO.exists() and _SO.stat().st_mtime >= newest_src:
         return _SO

@@ -1,0 +1,81 @@
+"""AddressSanitizer exercise for the native library (run via run_asan.sh).
+
+Drives every native entry point through realistic inputs using only
+numpy + ctypes (pytest/scipy/jax wheels abort under ASAN's interceptors,
+so this is a standalone driver rather than the test suite).
+"""
+
+import ctypes
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from genome_downsampler_tpu.config import BamApiConfig
+from genome_downsampler_tpu.io.bam import read_bam, read_bam_region, write_bam
+from genome_downsampler_tpu.solvers.native_greedy import native_greedy_select
+from genome_downsampler_tpu.solvers.native_mcmf import (
+    mcmf_select_bucketed,
+    mcmf_select_convex,
+)
+from genome_downsampler_tpu.testing.bam_writer import write_test_bam
+from genome_downsampler_tpu.testing.reads_gen import rand_reads_uniform
+
+
+def main():
+    rng = np.random.default_rng(7)
+    batch = rand_reads_uniform(rng, 5_000, 30_000, 150)
+    tmp = Path(tempfile.mkdtemp())
+    path = tmp / "in.bam"
+    write_test_bam(path, batch, coordinate_sorted=True, make_index=True)
+
+    cfg = BamApiConfig(min_mapq=0, min_seq_length=0, hts_thread_count=4)
+    full, fo, _ = read_bam(path, cfg)
+    assert full.n_reads == batch.n_reads
+    region, _, _ = read_bam_region(path, cfg, 5_000, 20_000)
+    assert region.n_reads > 0
+    write_bam(path, tmp / "o1.bam", full.bam_id[: full.n_reads // 2])
+    write_bam(path, tmp / "o2.bam", region.bam_id, ids_are_voffsets=True)
+
+    s = np.asarray(full.start, np.int64)
+    e = np.asarray(full.end, np.int64)
+    q = np.asarray(full.quality, np.int64)
+    sel = native_greedy_select(s, e, 30_000, 8)
+    assert len(sel) > 0
+    c = q.max() - q + 1
+    sel2 = mcmf_select_convex(s, e, c, 30_000, 8)
+    sel3 = mcmf_select_bucketed(s, e, c, 30_000, 8)
+    cost2 = int(c[sel2].sum())
+    cost3 = int(c[sel3].sum())
+    assert cost2 == cost3, (cost2, cost3)
+
+    # packing (direct ctypes: ops.pallas_blocked pulls in jax)
+    from genome_downsampler_tpu.io.build import build_bamio
+
+    lib = ctypes.CDLL(str(build_bamio()))
+    lib.gd_pack_blocked.restype = ctypes.c_int64
+    p_packed = ctypes.POINTER(ctypes.c_int32)()
+    p_counts = ctypes.POINTER(ctypes.c_int32)()
+    win = ctypes.c_int64()
+    cap = ctypes.c_int64()
+    rc = lib.gd_pack_blocked(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(s)), ctypes.c_int64(30_000), ctypes.c_int64(8),
+        ctypes.c_int64(256), ctypes.c_int64(256), ctypes.c_int64(256),
+        ctypes.c_int64(4),
+        ctypes.byref(p_packed), ctypes.byref(p_counts),
+        ctypes.byref(win), ctypes.byref(cap),
+    )
+    assert rc == 0
+    lib.gd_free_i32(p_packed)
+    lib.gd_free_i32(p_counts)
+
+    print("ASAN exercise: all native paths OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
