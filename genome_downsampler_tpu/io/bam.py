@@ -230,6 +230,12 @@ def write_bam(
         )
     if wrote < 0:
         raise IOError(f"write_bam({out_path}): {err.value.decode()}")
+    expected = int(np.unique(ids).shape[0])
+    if int(wrote) != expected:
+        raise IOError(
+            f"write_bam({out_path}): wrote {int(wrote)} records but "
+            f"{expected} distinct ids were requested"
+        )
     return int(wrote)
 
 

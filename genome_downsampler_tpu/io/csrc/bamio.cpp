@@ -441,7 +441,8 @@ struct PendingRead {
 struct QnameMap {
     struct Slot {
         uint64_t hash = 0;   // 0 = empty
-        uint32_t name_off = 0;
+        uint64_t name_off = 0;  // 64-bit: the pool can exceed 4 GiB at
+                                // hundreds of millions of records
         uint32_t name_len = 0;
         uint8_t state = 0;   // 0 empty, 1 live, 2 consumed
         PendingRead read;
@@ -496,7 +497,7 @@ struct QnameMap {
             Slot& s = slots[i];
             if (s.state == 0) {
                 s.hash = h;
-                s.name_off = (uint32_t)pool.size();
+                s.name_off = (uint64_t)pool.size();
                 s.name_len = (uint32_t)len;
                 s.state = 1;
                 s.read = r;
@@ -771,6 +772,14 @@ int64_t gd_write_bam(const char* in_path, const char* out_path, int threads,
         }
         id++;
     }
+    if (cursor < n_ids) {
+        std::snprintf(err, 256,
+                      "line id %lld past end of stream (%lld of %lld ids "
+                      "unmatched)",
+                      (long long)ids[cursor], (long long)(n_ids - cursor),
+                      (long long)n_ids);
+        return -1;
+    }
     if (!w.close()) { std::snprintf(err, 256, "%s", w.error.c_str()); return -1; }
     return written;
 }
@@ -817,6 +826,14 @@ int64_t gd_write_bam_voffsets(const char* in_path, const char* out_path,
                           (long long)ids[cursor]);
             return -1;
         }
+    }
+    if (cursor < n_ids) {
+        std::snprintf(err, 256,
+                      "voffset id %lld past end of stream (%lld of %lld ids "
+                      "unmatched)",
+                      (long long)ids[cursor], (long long)(n_ids - cursor),
+                      (long long)n_ids);
+        return -1;
     }
     if (!w.close()) { std::snprintf(err, 256, "%s", w.error.c_str()); return -1; }
     return written;

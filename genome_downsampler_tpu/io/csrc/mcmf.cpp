@@ -494,6 +494,9 @@ bool solve_convex(
         }
     }
 
+    // the engine indexes nodes/arcs with int32; reject inputs that overflow
+    if (n + 1 > INT32_MAX) return false;
+
     ConvexCostScaling s;
     s.N = (int32_t)(n + 1);  // nodes 0..n
     // hierarchical chain shortcuts: zero-cost arcs i+st -> i at strides
@@ -505,6 +508,7 @@ bool solve_convex(
     for (int64_t st = 16; st < n; st *= 16) strides.push_back(st);
     int64_t n_skip = 0;
     for (int64_t st : strides) n_skip += n / st;
+    if (B + n + n_skip > INT32_MAX) return false;
     s.A = (int32_t)(B + n + n_skip);
     s.scale = (int64_t)s.N;
 

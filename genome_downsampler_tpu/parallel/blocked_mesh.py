@@ -45,6 +45,7 @@ def _blocked_relax_local(
     max_span: int,
     chunk: int,
     interpret: bool,
+    static_chunks: bool,
     axis: str,
 ):
     """Per-device body (inside shard_map): joint relaxation of the global
@@ -58,6 +59,7 @@ def _blocked_relax_local(
         return blocked_sweep_pass(
             packed_local, counts_local, target_local, a_in, s_in,
             n_windows_local, block, max_span, chunk, interpret,
+            static_chunks=static_chunks,
         )
 
     def shift(c_out):
@@ -101,6 +103,7 @@ def make_blocked_mesh_solver(
     max_span: int = 256,
     chunk: int = 256,
     interpret: bool = False,
+    static_chunks: bool | str = "auto",
     axis: str = "x",
 ) -> Tuple[callable, NamedSharding, NamedSharding, NamedSharding]:
     """Jitted multi-device blocked solver.
@@ -109,7 +112,13 @@ def make_blocked_mesh_solver(
     max_span)`` with ``W_total = mesh_size * n_windows_local``. Returns
     ``(fn, packed_sharding, counts_sharding, target_sharding)``;
     ``fn(packed, counts, target) -> sel (W_total, win)`` sharded P(axis).
+
+    ``static_chunks="auto"`` switches to the counts-free kernel variant when
+    the per-device (nbw, W_local) count table would overflow the ~1 MB SMEM
+    scalar-prefetch budget (chr1-class grids) — see ``blocked_sweep_pass``.
     """
+    if static_chunks == "auto":
+        static_chunks = nbw * n_windows_local * 4 > 512 * 1024
     fn = jax.jit(
         jax.shard_map(
             functools.partial(
@@ -119,6 +128,7 @@ def make_blocked_mesh_solver(
                 max_span=max_span,
                 chunk=chunk,
                 interpret=interpret,
+                static_chunks=bool(static_chunks),
                 axis=axis,
             ),
             mesh=mesh,

@@ -187,3 +187,24 @@ def test_multi_contig_uses_first_and_skips_rest(tmp_path):
 def test_missing_file_raises():
     with pytest.raises(IOError):
         read_bam("/nonexistent/file.bam", no_filter_config())
+
+
+def test_writer_id_past_eof_raises(tmp_path):
+    batch = small_example_batch()
+    path = tmp_path / "eof.bam"
+    write_test_bam(path, batch)
+    # id 999 is past the last record: must error, not silently under-write
+    with pytest.raises(IOError, match="past end of stream"):
+        write_bam(path, tmp_path / "out.bam", np.array([0, 1, 999]))
+
+
+def test_writer_voffset_past_eof_raises(tmp_path):
+    batch = small_example_batch()
+    path = tmp_path / "eof2.bam"
+    write_test_bam(path, batch, coordinate_sorted=True)
+    got, _, _ = read_bam(path, no_filter_config())
+    with pytest.raises(IOError, match="past end of stream"):
+        write_bam(
+            path, tmp_path / "out.bam",
+            np.array([1 << 60], np.int64), ids_are_voffsets=True,
+        )

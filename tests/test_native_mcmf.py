@@ -17,8 +17,12 @@ def np_coverage(batch, n, sel=None):
     return np.cumsum(cov)[:n]
 
 
+# both native engines (SSP and eps-scaling) must match the LP oracle; the
+# dispatcher would otherwise only ever exercise SSP at test sizes
+@pytest.mark.parametrize("engine", ["ssp", "scale"])
 @pytest.mark.parametrize("seed", range(6))
-def test_mcmf_matches_lp_optimum(seed):
+def test_mcmf_matches_lp_optimum(seed, engine, monkeypatch):
+    monkeypatch.setenv("GD_MCMF_ENGINE", engine)
     rng = np.random.default_rng(seed)
     batch = rand_reads_uniform(rng, 80, 400, 30)
     m = int(rng.integers(1, 5))
@@ -32,7 +36,9 @@ def test_mcmf_matches_lp_optimum(seed):
     assert np.all(np_coverage(batch, n, nat) >= capped)
 
 
-def test_mcmf_medium_valid_and_quality_preferring():
+@pytest.mark.parametrize("engine", ["ssp", "scale"])
+def test_mcmf_medium_valid_and_quality_preferring(engine, monkeypatch):
+    monkeypatch.setenv("GD_MCMF_ENGINE", engine)
     rng = np.random.default_rng(12345)
     batch = rand_reads_uniform(rng, 2500, 6000, 150)
     m = 50
