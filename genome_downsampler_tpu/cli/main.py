@@ -167,7 +167,12 @@ def run_downsample(args, registry) -> int:
 
     reader = BamReader(input_path, config)
     batch = reader.get_batch()
-    if args.windows > 1 and args.algorithm in ("mcp-tpu", "quasi-mcp-tpu"):
+    if args.windows > 1:
+        if args.algorithm not in ("mcp-tpu", "quasi-mcp-tpu"):
+            _log.error(
+                "--windows is only supported with mcp-tpu/quasi-mcp-tpu; "
+                "algorithm %r would silently ignore it", args.algorithm)
+            return 1
         from genome_downsampler_tpu.parallel.windows import WindowedMcpSolver
 
         solver = WindowedMcpSolver(n_windows=args.windows)

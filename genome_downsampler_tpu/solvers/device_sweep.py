@@ -160,6 +160,11 @@ def reconstruct_selection(
     return np.sort(order[take]).astype(np.int64)
 
 
+# dense (n, L) int32 histogram budget before mcp-tpu switches to the
+# O(R)-memory blocked kernel (same cutoff family as parallel/sharded_io)
+DENSE_ROWS_BUDGET_BYTES = 256 * 1024 * 1024
+
+
 class McpDeviceSweepSolver(Solver):
     """Exact minimum-read-count solver on device (TPU flagship).
 
@@ -167,6 +172,12 @@ class McpDeviceSweepSolver(Solver):
     solution (minimum selected-read count; optima are non-unique, so read
     sets are compared against this framework's own host oracle,
     ``greedy_mcp.py`` — see SURVEY.md section 7 "hard parts").
+
+    One registry name covers every scale (like the reference's one name per
+    algorithm, ``src/solver_manager.hpp:19-24``): when the dense ``(n, L)``
+    histogram would exceed ``DENSE_ROWS_BUDGET_BYTES`` the solve dispatches
+    to the O(R)-memory blocked multi-window kernel
+    (``solvers/blocked_sweep.py``) — identical selection either way.
     """
 
     uses_quality_of_reads = False
@@ -176,10 +187,20 @@ class McpDeviceSweepSolver(Solver):
         max_span: int = DEFAULT_MAX_SPAN,
         pad_multiple: int = 4096,
         use_pallas: str | bool = "auto",
+        engine: str = "auto",
     ):
         self.max_span = max_span
         self.pad_multiple = pad_multiple
         self.use_pallas = use_pallas
+        if engine not in ("auto", "dense", "blocked"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+
+    def _pick_engine(self, n: int) -> str:
+        if self.engine != "auto":
+            return self.engine
+        dense_bytes = n * self.max_span * 4
+        return "dense" if dense_bytes <= DENSE_ROWS_BUDGET_BYTES else "blocked"
 
     def _pallas_enabled(self) -> bool:
         if self.use_pallas == "auto":
@@ -197,6 +218,14 @@ class McpDeviceSweepSolver(Solver):
             raise ValueError(
                 f"read span {int(span_host.max())} exceeds max_span={self.max_span}; "
                 "raise max_span (static) for this dataset"
+            )
+        if self._pick_engine(n) == "blocked":
+            from genome_downsampler_tpu.solvers.blocked_sweep import (
+                BlockedWindowedMcpSolver,
+            )
+
+            return BlockedWindowedMcpSolver(max_span=self.max_span).solve(
+                max_coverage, batch
             )
         use_pallas = self._pallas_enabled()
         block = 512

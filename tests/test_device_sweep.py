@@ -100,3 +100,28 @@ def test_qmcp_sweep_feasible():
     batch = rand_reads_uniform(rng, 200, 1000, 40)
     sel = QmcpDeviceSweepSolver(max_span=64, pad_multiple=512).solve(3, batch)
     assert_valid(batch, sel, 3)
+
+
+def test_engine_auto_dispatch_threshold():
+    from genome_downsampler_tpu.solvers.device_sweep import (
+        DENSE_ROWS_BUDGET_BYTES,
+        McpDeviceSweepSolver,
+    )
+
+    s = McpDeviceSweepSolver()
+    assert s._pick_engine(30_000) == "dense"
+    too_big = DENSE_ROWS_BUDGET_BYTES // (s.max_span * 4) + 1
+    assert s._pick_engine(too_big) == "blocked"
+
+
+def test_engine_blocked_matches_dense():
+    import numpy as np
+
+    from genome_downsampler_tpu.solvers.device_sweep import McpDeviceSweepSolver
+    from genome_downsampler_tpu.testing.reads_gen import rand_reads_uniform
+
+    rng = np.random.default_rng(7)
+    batch = rand_reads_uniform(rng, 3000, 8192, 150)
+    dense = McpDeviceSweepSolver(engine="dense").solve(25, batch)
+    blocked = McpDeviceSweepSolver(engine="blocked").solve(25, batch)
+    np.testing.assert_array_equal(dense, blocked)
