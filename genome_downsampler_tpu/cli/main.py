@@ -179,11 +179,26 @@ def run_downsample(args, registry) -> int:
     else:
         solver = registry.get(args.algorithm)
 
+    import numpy as np
+
     from genome_downsampler_tpu.utils.profiling import trace
 
     start = time.perf_counter()
+    # multi-contig inputs are solved one contig at a time (each has its own
+    # coordinate system); the reference instead applies its first contig's
+    # length everywhere (bam_api.cpp:422) — documented deviation
     with trace(args.profile_dir):
-        solution = solver.solve(args.max_coverage, batch)
+        groups = batch.split_by_contig()
+        if len(groups) > 1:
+            _log.info("input has %d contigs with reads; solving per contig",
+                      len(groups))
+        parts = [
+            idx[np.asarray(solver.solve(args.max_coverage, sub), np.int64)]
+            for _, sub, idx in groups
+        ]
+        solution = (
+            np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        )
     _log.debug("solve took %.6f seconds", time.perf_counter() - start)
 
     paired = batch.find_pairs(solution)

@@ -52,8 +52,17 @@ class ReadBatch:
     quality:     int32[R]  MAPQ (possibly remapped by amplicon GRADE)
     seq_length:  int32[R]  query sequence length
     is_first:    bool[R]   BAM_FREAD1 flag of the record
-    ref_genome_length: int reference genome length (first contig, like
-                           ``bam_api.cpp:422``)
+    ref_genome_length: int reference genome length of the batch's contig
+                           (for a whole multi-contig file: the first contig,
+                           like ``bam_api.cpp:422``; per-contig sub-batches
+                           from :meth:`split_by_contig` carry their own)
+    contig:      int32[R]  contig (refID) of each read; zeros by default
+    contig_lengths: int64[C] length of every contig in the source header
+                           (defaults to ``[ref_genome_length]``)
+
+    Unlike the reference — which applies its first contig's length to ALL
+    records (``bam_api.cpp:422``) — multi-contig batches are solved per
+    contig via :meth:`split_by_contig` (documented deviation).
     """
 
     bam_id: np.ndarray
@@ -63,6 +72,8 @@ class ReadBatch:
     seq_length: np.ndarray
     is_first: np.ndarray
     ref_genome_length: int
+    contig: Optional[np.ndarray] = None
+    contig_lengths: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.bam_id = _as_i64(self.bam_id)
@@ -73,7 +84,16 @@ class ReadBatch:
         self.is_first = np.ascontiguousarray(np.asarray(self.is_first, dtype=bool))
         self.ref_genome_length = int(self.ref_genome_length)
         n = len(self.bam_id)
-        for name in ("start", "end", "quality", "seq_length", "is_first"):
+        if self.contig is None:
+            self.contig = np.zeros(n, np.int32)
+        else:
+            self.contig = _as_i32(self.contig)
+        if self.contig_lengths is None:
+            self.contig_lengths = np.array([self.ref_genome_length], np.int64)
+        else:
+            self.contig_lengths = _as_i64(self.contig_lengths)
+        for name in ("start", "end", "quality", "seq_length", "is_first",
+                     "contig"):
             if len(getattr(self, name)) != n:
                 raise ValueError(f"ReadBatch field {name} has inconsistent length")
 
@@ -128,7 +148,29 @@ class ReadBatch:
             self.seq_length[idx],
             self.is_first[idx],
             self.ref_genome_length,
+            contig=self.contig[idx],
+            contig_lengths=self.contig_lengths,
         )
+
+    def split_by_contig(self) -> list:
+        """Split a multi-contig batch into per-contig sub-batches.
+
+        Returns ``[(ref_id, sub_batch, global_indices), ...]`` for every
+        contig that has reads, in ref_id order. Each sub-batch carries the
+        contig's own length as ``ref_genome_length`` so solvers see a
+        consistent coordinate system; ``global_indices`` maps a sub-batch
+        read index back to this batch. Pair adjacency is preserved: mates
+        always share a contig (cross-contig pairs are dropped at read time,
+        ``io/csrc/bamio.cpp`` pair filter) and pairs are emitted together.
+        """
+        out = []
+        for ref in np.unique(self.contig):
+            idx = np.flatnonzero(self.contig == ref)
+            sub = self.select(idx)
+            if int(ref) < len(self.contig_lengths):
+                sub.ref_genome_length = int(self.contig_lengths[int(ref)])
+            out.append((int(ref), sub, idx))
+        return out
 
     # ------------------------------------------------------------------
     def padded(self, multiple: int = 1024) -> Tuple[dict, np.ndarray]:

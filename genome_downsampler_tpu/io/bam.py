@@ -33,10 +33,13 @@ class _GdReadResult(ctypes.Structure):
         ("seq_length", ctypes.POINTER(ctypes.c_int32)),
         ("is_first", ctypes.POINTER(ctypes.c_uint8)),
         ("in_single_amplicon", ctypes.POINTER(ctypes.c_uint8)),
+        ("contig", ctypes.POINTER(ctypes.c_int32)),
         ("n_reads", ctypes.c_int64),
         ("filtered_out", ctypes.POINTER(ctypes.c_int64)),
         ("n_filtered_out", ctypes.c_int64),
         ("ref_genome_length", ctypes.c_int64),
+        ("contig_lengths", ctypes.POINTER(ctypes.c_int64)),
+        ("n_contigs", ctypes.c_int64),
         ("total_records", ctypes.c_int64),
         ("min_mapq_seen", ctypes.c_int64),
         ("max_mapq_seen", ctypes.c_int64),
@@ -71,7 +74,7 @@ def _load_lib():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(_GdReadResult),
+            ctypes.c_int32, ctypes.POINTER(_GdReadResult),
         ]
         lib.gd_write_bam_voffsets.restype = ctypes.c_int64
         lib.gd_write_bam_voffsets.argtypes = [
@@ -103,6 +106,8 @@ def _unpack_read_result(res, config, mode):
         seq_length=_to_numpy(res.seq_length, n, np.int32),
         is_first=_to_numpy(res.is_first, n, np.uint8).astype(bool),
         ref_genome_length=res.ref_genome_length,
+        contig=_to_numpy(res.contig, n, np.int32),
+        contig_lengths=_to_numpy(res.contig_lengths, res.n_contigs, np.int64),
     )
     filtered_out = _to_numpy(res.filtered_out, res.n_filtered_out, np.int64)
     in_single = _to_numpy(res.in_single_amplicon, n, np.uint8).astype(bool)
@@ -163,6 +168,7 @@ def read_bam_region(
     lo: int,
     hi: int,
     bai_path: Path | str | None = None,
+    ref_id: int = 0,
 ) -> Tuple[ReadBatch, np.ndarray, np.ndarray]:
     """Indexed region read for host-sharded input (coordinate-sorted BAM).
 
@@ -182,8 +188,8 @@ def read_bam_region(
         from genome_downsampler_tpu.io.bai import parse_bai, seek_voffset_for
 
         linear = parse_bai(bai)
-        if linear:
-            voffset_hint = seek_voffset_for(linear[0], int(lo))
+        if len(linear) > ref_id:
+            voffset_hint = seek_voffset_for(linear[ref_id], int(lo))
 
     amps = load_amplicons(config.bed_path, config.tsv_path) if config.bed_path else []
     amp_start = np.array([a.start for a in amps], np.int64)
@@ -197,7 +203,8 @@ def read_bam_region(
             config.min_seq_length, mode,
             amp_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             amp_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(amps), voffset_hint, int(lo), int(hi), ctypes.byref(res),
+            len(amps), voffset_hint, int(lo), int(hi), int(ref_id),
+            ctypes.byref(res),
         )
     if rc != 0:
         raise IOError(f"read_bam_region({path}): {res.error.decode()}")

@@ -23,9 +23,13 @@
 //     pair sits in a single amplicon (bam_api.cpp:334-353); the quality
 //     remap itself is vectorized in Python.
 // Deliberate deviation (documented in SURVEY.md section 7 "hard parts"):
-// records that are unmapped or aligned to a contig other than the first are
-// skipped (counted filtered-out) instead of inheriting the reference's
-// out-of-bounds behaviour on multi-contig input.
+// multi-contig input is handled properly — every mapped record is imported
+// with its contig index and the full contig-length table is returned, so the
+// caller solves per contig — instead of inheriting the reference's quirk of
+// using the FIRST contig's length for all records (bam_api.cpp:422), which
+// silently corrupts coverage on multi-contig BAMs. Pairs whose mates map to
+// different contigs are dropped (counted filtered-out); the reference would
+// have paired them across incompatible coordinate systems.
 
 #include <zlib.h>
 
@@ -392,6 +396,7 @@ struct HeaderInfo {
     std::vector<uint8_t> raw;          // bytes from magic through last ref
     int64_t first_target_len = 0;
     int32_t n_ref = 0;
+    std::vector<int64_t> target_lens;  // length of every contig
 };
 
 bool read_header(BgzfReader& r, HeaderInfo& h, std::string& error) {
@@ -418,7 +423,9 @@ bool read_header(BgzfReader& r, HeaderInfo& h, std::string& error) {
         off = h.raw.size();
         h.raw.resize(off + l_name + 4);
         if (!r.read(h.raw.data() + off, l_name + 4)) { error = "truncated ref entry"; return false; }
-        if (i == 0) h.first_target_len = rd_i32(h.raw.data() + off + l_name);
+        int64_t tlen = rd_i32(h.raw.data() + off + l_name);
+        h.target_lens.push_back(tlen);
+        if (i == 0) h.first_target_len = tlen;
     }
     return true;
 }
@@ -429,6 +436,7 @@ struct PendingRead {
     uint32_t mapq;
     int32_t l_seq;
     bool is_first;
+    int32_t ref_id;
 };
 
 // Open-addressing QNAME -> PendingRead map: 64-bit FNV-1a fingerprint with
@@ -537,11 +545,14 @@ struct GdReadResult {
     int32_t* seq_length;
     uint8_t* is_first;
     uint8_t* in_single_amplicon;  // only meaningful under GRADE
+    int32_t* contig;             // contig (refID) of each read
     int64_t n_reads;
     // preprocessing-rejected record line numbers
     int64_t* filtered_out;
     int64_t n_filtered_out;
     int64_t ref_genome_length;   // first contig, like the reference
+    int64_t* contig_lengths;     // length of every contig in the header
+    int64_t n_contigs;
     int64_t total_records;
     int64_t min_mapq_seen;       // over accepted pairs (GRADE)
     int64_t max_mapq_seen;
@@ -549,18 +560,20 @@ struct GdReadResult {
 };
 
 // Shared streaming implementation. In whole-file mode (region == false)
-// record ids are ordinal line numbers and filtered_out lists rejected line
-// numbers. In region mode record ids are BGZF *virtual offsets* (so a
+// record ids are ordinal line numbers, filtered_out lists rejected line
+// numbers, and records of EVERY contig are imported (with their refID in
+// out->contig). In region mode record ids are BGZF *virtual offsets* (so a
 // multi-host job can merge selections by sorted voffset and the re-stream
 // writer can match them), the scan seeks to voffset_hint (from a BAM
-// index), skips records with pos < lo, and stops at the first record with
-// pos > hi — which requires a coordinate-sorted input, as indexed region
-// queries always do.
+// index), keeps only contig region_ref, skips records with pos < lo, and
+// stops at the first record with pos > hi — which requires a
+// coordinate-sorted input, as indexed region queries always do.
 static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
                          uint32_t min_len, int amplicon_mode,
                          const int64_t* amp_start, const int64_t* amp_end,
                          int64_t n_amp, bool region, int64_t voffset_hint,
-                         int64_t lo, int64_t hi, GdReadResult* out) {
+                         int64_t lo, int64_t hi, int32_t region_ref,
+                         GdReadResult* out) {
     std::memset(out, 0, sizeof *out);
     out->min_mapq_seen = INT64_MAX;
     out->max_mapq_seen = -1;
@@ -571,6 +584,8 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
     std::string err;
     if (!read_header(r, h, err)) { std::snprintf(out->error, 256, "%s", err.c_str()); return 1; }
     out->ref_genome_length = h.first_target_len;
+    if (region && region_ref >= 0 && region_ref < (int32_t)h.target_lens.size())
+        out->ref_genome_length = h.target_lens[region_ref];
     if (region && voffset_hint > 0) {
         if (!r.seek_voffset(voffset_hint)) {
             std::snprintf(out->error, 256, "%s", r.error.c_str());
@@ -587,7 +602,7 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
     };
 
     std::vector<int64_t> v_id;
-    std::vector<int32_t> v_start, v_end, v_q, v_len;
+    std::vector<int32_t> v_start, v_end, v_q, v_len, v_contig;
     std::vector<uint8_t> v_first, v_amp;
     std::vector<uint8_t> accepted;     // per scanned record (ordinal mode)
     std::vector<int64_t> scanned_ids;  // per scanned record (region mode)
@@ -607,10 +622,10 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
 
         int32_t ref_id = rd_i32(rec.data());
         int64_t pos = rd_i32(rec.data() + 4);
-        // sorted input: done past hi, and also once contig 0 is exhausted
-        // (later contigs restart at low positions and never match)
-        if (region && ref_id == 0 && pos > hi) break;
-        if (region && ref_id > 0) break;
+        // sorted input: done past hi, and also once the target contig is
+        // exhausted (later contigs restart at low positions, never match)
+        if (region && ref_id == region_ref && pos > hi) break;
+        if (region && ref_id > region_ref) break;
         if (region) scanned_ids.push_back(rec_id);
         else accepted.push_back(0);
         size_t scan_idx = n_scanned++;
@@ -624,12 +639,13 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
         const char* qname = reinterpret_cast<const char*>(rec.data() + 32);
         const uint8_t* cigar = rec.data() + 32 + l_read_name;
 
-        // deviation: skip unmapped / non-first-contig records (see header)
-        if (ref_id != 0 || pos < 0) continue;
+        // skip unmapped records; region mode keeps only the target contig
+        if (ref_id < 0 || pos < 0) continue;
+        if (region && ref_id != region_ref) continue;
         if (region && pos < lo) continue;  // left neighbor's territory
 
         PendingRead cur{rec_id, pos, pos + cigar_rlen(cigar, n_cigar) - 1,
-                        mapq, l_seq, (flag & 0x40) != 0};
+                        mapq, l_seq, (flag & 0x40) != 0, ref_id};
         (void)scan_idx;
         PendingRead mate;
         if (!pending.find_or_insert(
@@ -638,7 +654,10 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
         PendingRead r1 = mate;  // first seen came from the map
         PendingRead r2 = cur;
         bool drop = r1.mapq < min_mapq || r2.mapq < min_mapq ||
-                    r1.l_seq < (int32_t)min_len || r2.l_seq < (int32_t)min_len;
+                    r1.l_seq < (int32_t)min_len || r2.l_seq < (int32_t)min_len ||
+                    // deviation: a pair split across contigs has no coherent
+                    // coordinate system; drop it (see file header comment)
+                    r1.ref_id != r2.ref_id;
         if (amplicon_mode == 1 && !drop) drop = !in_single(r1, r2);
         if (drop) continue;
 
@@ -659,6 +678,7 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
             v_len.push_back(p->l_seq);
             v_first.push_back(p->is_first ? 1 : 0);
             v_amp.push_back(amp_flag);
+            v_contig.push_back(p->ref_id);
         }
         if (!region) {
             accepted[r1.bam_id] = 1;
@@ -681,6 +701,9 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
     copy_arr(v_len, out->seq_length);
     copy_arr(v_first, out->is_first);
     copy_arr(v_amp, out->in_single_amplicon);
+    copy_arr(v_contig, out->contig);
+    copy_arr(h.target_lens, out->contig_lengths);
+    out->n_contigs = (int64_t)h.target_lens.size();
 
     std::vector<int64_t> fo;
     if (region) {
@@ -705,21 +728,22 @@ int gd_read_bam(const char* path, int threads, uint32_t min_mapq,
                 uint32_t min_len, int amplicon_mode, const int64_t* amp_start,
                 const int64_t* amp_end, int64_t n_amp, GdReadResult* out) {
     return read_bam_impl(path, threads, min_mapq, min_len, amplicon_mode,
-                         amp_start, amp_end, n_amp, false, 0, 0, 0, out);
+                         amp_start, amp_end, n_amp, false, 0, 0, 0, 0, out);
 }
 
 // Indexed region read for host-sharded input: record ids are BGZF virtual
 // offsets; the scan seeks to voffset_hint (0 = from the first record),
-// keeps reads with lo <= pos <= hi, and stops past hi (coordinate-sorted
-// input required). Pairs split further than the caller's halo are dropped.
+// keeps reads of contig region_ref with lo <= pos <= hi, and stops past hi
+// (coordinate-sorted input required). Pairs split further than the
+// caller's halo are dropped.
 int gd_read_bam_region(const char* path, int threads, uint32_t min_mapq,
                        uint32_t min_len, int amplicon_mode,
                        const int64_t* amp_start, const int64_t* amp_end,
                        int64_t n_amp, int64_t voffset_hint, int64_t lo,
-                       int64_t hi, GdReadResult* out) {
+                       int64_t hi, int32_t region_ref, GdReadResult* out) {
     return read_bam_impl(path, threads, min_mapq, min_len, amplicon_mode,
                          amp_start, amp_end, n_amp, true, voffset_hint, lo,
-                         hi, out);
+                         hi, region_ref, out);
 }
 
 void gd_free_read_result(GdReadResult* r) {
@@ -730,6 +754,8 @@ void gd_free_read_result(GdReadResult* r) {
     std::free(r->seq_length);
     std::free(r->is_first);
     std::free(r->in_single_amplicon);
+    std::free(r->contig);
+    std::free(r->contig_lengths);
     std::free(r->filtered_out);
     std::memset(r, 0, sizeof *r);
 }

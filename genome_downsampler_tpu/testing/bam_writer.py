@@ -96,8 +96,24 @@ def write_test_bam(
     """
     if make_index and not coordinate_sorted:
         raise ValueError("make_index requires coordinate_sorted=True")
-    text = f"@HD\tVN:1.6\n@SQ\tSN:{ref_name}\tLN:{batch.ref_genome_length}\n"
-    refs = [(ref_name, batch.ref_genome_length)] + list(extra_refs or [])
+    multi = len(batch.contig_lengths) > 1 or (
+        batch.n_reads and int(batch.contig.max()) > 0
+    )
+    if multi:
+        # reads carry per-read contig ids; build the ref table from the
+        # batch's contig_lengths
+        if make_index:
+            raise ValueError("make_index supports single-contig batches only")
+        refs = [
+            (f"{ref_name[:-1]}{i + 1}" if ref_name[-1:].isdigit() else
+             f"{ref_name}_{i + 1}", int(ln))
+            for i, ln in enumerate(batch.contig_lengths)
+        ]
+    else:
+        refs = [(ref_name, batch.ref_genome_length)] + list(extra_refs or [])
+    text = "@HD\tVN:1.6\n" + "".join(
+        f"@SQ\tSN:{nm}\tLN:{ln}\n" for nm, ln in refs
+    )
 
     hdr = b"BAM\x01"
     hdr += struct.pack("<i", len(text)) + text.encode()
@@ -108,7 +124,7 @@ def write_test_bam(
 
     order = np.arange(batch.n_reads)
     if coordinate_sorted:
-        order = np.argsort(batch.start, kind="stable")
+        order = np.lexsort((batch.start, batch.contig))
 
     w = _BgzfTrackingWriter()
     w.write(hdr)
@@ -133,7 +149,7 @@ def write_test_bam(
         qual = bytes([30] * l_seq)
         rec = struct.pack(
             "<iiBBHHHiiii",
-            0,                       # refID
+            int(batch.contig[i]),    # refID
             int(batch.start[i]),     # pos
             len(qname),              # l_read_name
             int(batch.quality[i]) & 0xFF,  # mapq
