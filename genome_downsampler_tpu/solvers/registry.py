@@ -82,6 +82,12 @@ def _make_mcp_tpu() -> Solver:
 
 
 def _make_qmcp_tpu() -> Solver:
+    from genome_downsampler_tpu.solvers.device_mcmf import QmcpDeviceMcmfSolver
+
+    return QmcpDeviceMcmfSolver()
+
+
+def _make_qmcp_sweep_tpu() -> Solver:
     from genome_downsampler_tpu.solvers.device_sweep import QmcpDeviceSweepSolver
 
     return QmcpDeviceSweepSolver()
@@ -115,7 +121,11 @@ def default_registry() -> SolverRegistry:
     reg.register("quasi-mcp-tpu", _make_mcp_tpu, uses_quality=False)
     reg.register("quasi-mcp-flow-tpu", _make_quasi_tpu, uses_quality=False)
     reg.register("mcp-tpu", _make_mcp_tpu, uses_quality=False)
+    # qmcp-tpu is EXACT in the reference's weighted objective (scan-SSP on
+    # the convex-bucket network); the faster min-count-then-quality
+    # heuristic sweep stays available under an explicit name.
     reg.register("qmcp-tpu", _make_qmcp_tpu, uses_quality=True)
+    reg.register("qmcp-sweep-tpu", _make_qmcp_sweep_tpu, uses_quality=True)
     # large-genome device path: O(R) memory, W windows in the sublane axis
     reg.register("mcp-tpu-blocked", _make_mcp_tpu_blocked, uses_quality=False)
     reg.register("test", _make_test, uses_quality=False)
