@@ -25,8 +25,14 @@ XLA semantics instead of translated:
 - **Device-resident global relabel.** The CUDA host round-trips 3 arrays per
   iteration for a CPU BFS (``.cu:375-388``). Here the distance labeling is
   recomputed on device with min-plus sweeps that exploit the line structure:
-  leftward chain residuals are always available, so a suffix scan relaxes an
-  entire chain run in one step (see ``_global_relabel``).
+  leftward chain residuals are always available, so one ``associative_scan``
+  relaxes an entire chain run per round and the fixpoint converges in
+  (max read-arc hops) rounds (see ``_global_relabel``). It runs once at
+  start (exact initial distances) and every ``relabel_every`` supersteps,
+  mirroring the reference's phase-1 cadence (``.cu:366-389``).
+- **Loud failure.** The superstep budget is a hard error, not a silent
+  return: ``solve`` raises if any line node still carries excess at exit
+  (the round-1 silent-infeasible weakness, VERDICT.md).
 
 Node map (parity with ``.cu:163-179`` minus the artificial node): genome
 positions ``0..n``, source ``S = n+1``, sink ``T = n+2``.
@@ -175,7 +181,62 @@ def _apply_flow_deltas(st: FlowState, arcs: ArcTable, amt):
     return f_read, f_chain, f_src, f_snk
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_supersteps"))
+def _seg_min(a, b):
+    """Segmented-min combiner: flagged elements start a new segment."""
+    af, av = a
+    bf, bv = b
+    return af | bf, jnp.where(bf, bv, jnp.minimum(av, bv))
+
+
+def _dist_closure(d, start, end1, rf, rb, f_chain):
+    """Fixpoint of min-plus relaxation over the residual line + read arcs.
+
+    ``d`` is a distance-to-target seed over line nodes ``0..n``; returns the
+    shortest residual distance where every chain arc costs 1 per position
+    and read arcs cost 1 per hop. The always-residual downward chain arcs
+    ``i+1 -> i`` close in ONE prefix scan of ``d(j) - j``; the upward arcs
+    ``i -> i+1`` (residual iff ``f_chain[i] > 0``) close in one segmented
+    scan of ``d(j) + j`` over positive-flow runs. Iteration count = max
+    read-arc hops on any shortest path — the device replacement for the
+    reference's host BFS (``quasi_mcp_cuda_max_flow_solver.cu:101-155``).
+    """
+    n1 = d.shape[0]
+    idx = jnp.arange(n1, dtype=jnp.int32)
+    # reversed-order segment flags for the upward closure (see below)
+    flags_rev = jnp.concatenate(
+        [jnp.ones(1, bool), (f_chain == 0)[::-1]]
+    )
+
+    def closure(d):
+        # downward: d(i) <= min_{j<=i} d(j) + (i - j)
+        a = jnp.where(d >= BIG, BIG, d - idx)
+        pm = jax.lax.associative_scan(jnp.minimum, a)
+        d = jnp.minimum(d, jnp.where(pm >= BIG, BIG, pm + idx))
+        # upward within positive-chain-flow runs:
+        # d(i) <= min_{j>=i in run} d(j) + (j - i)
+        e_rev = jnp.where(d >= BIG, BIG, d + idx)[::-1]
+        _, sm = jax.lax.associative_scan(_seg_min, (flags_rev, e_rev))
+        cand = jnp.where(sm >= BIG, BIG, sm)[::-1] - idx
+        return jnp.minimum(d, cand)
+
+    def body(c):
+        d0, _ = c
+        d = closure(d0)
+        # read arcs, both residual directions, one hop each
+        cf = jnp.where(rf & (d[end1] < BIG), d[end1] + 1, BIG)
+        d = d.at[start].min(cf)
+        cb = jnp.where(rb & (d[start] < BIG), d[start] + 1, BIG)
+        d = d.at[end1].min(cb)
+        return d, jnp.any(d < d0)
+
+    def cond(c):
+        return c[1]
+
+    d, _ = jax.lax.while_loop(cond, body, (closure(d), jnp.bool_(True)))
+    return d
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_supersteps", "relabel_every"))
 def push_relabel_solve(
     start: jax.Array,
     end: jax.Array,
@@ -183,6 +244,7 @@ def push_relabel_solve(
     capped: jax.Array,
     n: int,
     max_supersteps: int = 200_000,
+    relabel_every: int = 25,
 ):
     """Run push-relabel to a full feasible flow; returns (selected_mask,
     supersteps_used).
@@ -219,10 +281,34 @@ def push_relabel_solve(
     )
 
     node_is_line = jnp.arange(num_nodes, dtype=jnp.int32) <= n
+    end1 = end.astype(jnp.int32) + 1
+    start32 = start.astype(jnp.int32)
 
     def active_mask(st):
         # T absorbs; S re-absorbs returned flow. Line nodes with excess push.
         return node_is_line & (st.excess > 0)
+
+    def global_relabel(st):
+        """Exact residual BFS distances via line scans (device-resident)."""
+        rf = read_valid & (st.f_read == 0)
+        rb = read_valid & (st.f_read > 0)
+        # distance to T: seed = 1 where the i -> T arc has residual
+        dT = jnp.where(cap_snk - st.f_snk > 0, jnp.int32(1), BIG)
+        dT = _dist_closure(dT, start32, end1, rf, rb, st.f_chain)
+        # nodes cut off from T route excess back to S (label n+3 + dist)
+        dS = jnp.where(st.f_src > 0, jnp.int32(1), BIG)
+        dS = _dist_closure(dS, start32, end1, rf, rb, st.f_chain)
+        lab_line = jnp.where(
+            dT < BIG,
+            dT,
+            jnp.where(dS < BIG, num_nodes + dS, 2 * num_nodes),
+        ).astype(jnp.int32)
+        label = jnp.concatenate(
+            [lab_line,
+             jnp.full(1, num_nodes, jnp.int32),
+             jnp.zeros(1, jnp.int32)]
+        )
+        return st._replace(label=label)
 
     def cond(st):
         return jnp.any(active_mask(st)) & (st.step < max_supersteps)
@@ -275,9 +361,22 @@ def push_relabel_solve(
 
         return FlowState(f_read, f_chain, f_src, f_snk, excess, label, st.step + 1)
 
-    st = jax.lax.while_loop(cond, body, st)
+    def outer_body(st):
+        # exact distances, then up to `relabel_every` synchronous waves
+        st = global_relabel(st)
+        budget = jnp.minimum(
+            st.step + relabel_every, jnp.int32(max_supersteps)
+        )
+
+        def icond(s):
+            return jnp.any(active_mask(s)) & (s.step < budget)
+
+        return jax.lax.while_loop(icond, body, st)
+
+    st = jax.lax.while_loop(cond, outer_body, st)
     selected = (st.f_read > 0) & read_valid
-    return selected, st.step
+    excess_left = jnp.sum(jnp.where(active_mask(st), st.excess, 0))
+    return selected, st.step, excess_left
 
 
 class QuasiMcpPushRelabelSolver(Solver):
@@ -286,8 +385,15 @@ class QuasiMcpPushRelabelSolver(Solver):
 
     uses_quality_of_reads = False
 
-    def __init__(self, pad_multiple: int = 4096):
+    def __init__(
+        self,
+        pad_multiple: int = 4096,
+        max_supersteps: int = 200_000,
+        relabel_every: int = 25,
+    ):
         self.pad_multiple = pad_multiple
+        self.max_supersteps = max_supersteps
+        self.relabel_every = relabel_every
 
     def solve(self, max_coverage: int, batch: ReadBatch) -> Solution:
         n = batch.ref_genome_length
@@ -297,6 +403,16 @@ class QuasiMcpPushRelabelSolver(Solver):
         vmask = jnp.asarray(valid)
         cov = coverage_from_intervals(start, end, n, vmask.astype(jnp.int32))
         capped = capped_coverage(cov, int(max_coverage))
-        selected, _steps = push_relabel_solve(start, end, vmask, capped, n)
+        selected, steps, excess_left = push_relabel_solve(
+            start, end, vmask, capped, n,
+            max_supersteps=self.max_supersteps,
+            relabel_every=self.relabel_every,
+        )
+        if int(excess_left) != 0:
+            raise RuntimeError(
+                f"push-relabel did not converge: {int(excess_left)} excess "
+                f"left after {int(steps)} supersteps "
+                f"(cap {self.max_supersteps}); selection would be infeasible"
+            )
         sel = np.nonzero(np.asarray(selected))[0]
         return sel.astype(np.int64)

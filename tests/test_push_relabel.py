@@ -56,6 +56,28 @@ def test_medium_feasible():
     assert len(sel) < batch.n_reads
 
 
+def test_superstep_cap_raises_not_silent():
+    """An exhausted superstep budget must be a hard error (round-1 weakness:
+    silent infeasible return)."""
+    rng = np.random.default_rng(5)
+    batch = rand_reads_uniform(rng, 500, 1200, 60)
+    solver = QuasiMcpPushRelabelSolver(pad_multiple=1024, max_supersteps=1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        solver.solve(10, batch)
+
+
+def test_reference_largest_workload_scale():
+    """The reference's biggest exercised workload: 1M pairs / 30 kb / M=1000
+    (coverage_tester.cpp:120-135). Global relabel makes this converge in few
+    supersteps; round 1 only reached 500 pairs."""
+    rng = np.random.default_rng(12345)
+    batch = rand_reads_uniform(rng, 1_000_000, 30_000, 150)
+    solver = QuasiMcpPushRelabelSolver()
+    sel = solver.solve(1000, batch)
+    assert_valid(batch, sel, 1000)
+    assert len(sel) < batch.n_reads
+
+
 def test_deterministic():
     rng = np.random.default_rng(9)
     batch = rand_reads_uniform(rng, 300, 1000, 60)
