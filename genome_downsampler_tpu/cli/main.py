@@ -140,11 +140,16 @@ def run_downsample(args, registry) -> int:
         if args.preprocessing_out:
             _log.error("--preprocessing-out is not supported with --sharded")
             return 1
-        if args.algorithm not in ("quasi-mcp-cpu", "mcp-cpu", "mcp-tpu",
-                                  "quasi-mcp-tpu", "mcp-tpu-blocked"):
+        from genome_downsampler_tpu.parallel.sharded_io import QUALITY_ALGOS
+
+        if args.algorithm not in (
+            "quasi-mcp-cpu", "mcp-cpu", "mcp-tpu", "quasi-mcp-tpu",
+            "mcp-tpu-blocked", *QUALITY_ALGOS,
+        ):
             _log.error(
-                "--sharded runs the exact MCP sweep; algorithm %r is not "
-                "supported in sharded mode", args.algorithm)
+                "algorithm %r is not supported in sharded mode (MCP names "
+                "run the mesh sweep; QMCP names run the distributed-parse "
+                "exact MCMF)", args.algorithm)
             return 1
         if args.windows > 1:
             _log.error("--windows is implied by --sharded; do not combine")
@@ -154,7 +159,7 @@ def run_downsample(args, registry) -> int:
         merged = run_sharded(
             input_path, args.max_coverage, config,
             output_path if jax.process_index() == 0 else None,
-            halo=args.halo,
+            halo=args.halo, algorithm=args.algorithm,
         )
         _log.info(
             "sharded solve+write: %d reads in %.3f s (rank %d/%d)",

@@ -43,6 +43,10 @@ class _GdReadResult(ctypes.Structure):
         ("total_records", ctypes.c_int64),
         ("min_mapq_seen", ctypes.c_int64),
         ("max_mapq_seen", ctypes.c_int64),
+        ("unmatched_start", ctypes.POINTER(ctypes.c_int64)),
+        ("unmatched_end", ctypes.POINTER(ctypes.c_int64)),
+        ("unmatched_mate_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("n_unmatched", ctypes.c_int64),
         ("error", ctypes.c_char * 256),
     ]
 
@@ -92,10 +96,11 @@ def _to_numpy(ptr, n, dtype):
 
 
 
-def _unpack_read_result(res, config, mode):
+def _unpack_read_result(res, config, mode, defer_grade=False):
     """Convert a populated _GdReadResult into (batch, filtered_out,
     in_single), applying the GRADE quality remap
-    (``apply_amplicon_inclusion_grading``, ``bam_api.cpp:334-347``).
+    (``apply_amplicon_inclusion_grading``, ``bam_api.cpp:334-347``) unless
+    ``defer_grade`` (sharded callers remap with GLOBAL min/max instead).
     Caller still owns/frees ``res``."""
     n = res.n_reads
     batch = ReadBatch(
@@ -112,7 +117,8 @@ def _unpack_read_result(res, config, mode):
     filtered_out = _to_numpy(res.filtered_out, res.n_filtered_out, np.int64)
     in_single = _to_numpy(res.in_single_amplicon, n, np.uint8).astype(bool)
     if (
-        config.amplicon_behaviour == AmpliconBehaviour.GRADE
+        not defer_grade
+        and config.amplicon_behaviour == AmpliconBehaviour.GRADE
         and mode == 2
         and res.max_mapq_seen > 0
         and res.min_mapq_seen < 2**31
@@ -162,6 +168,34 @@ def read_bam(
     return batch, filtered_out, in_single
 
 
+class RegionRead:
+    """Result of :func:`read_bam_region`.
+
+    Iterable/indexable as the historical ``(batch, filtered_out,
+    in_single)`` triple; the extra fields carry what a sharded caller
+    needs for safety: ``unmatched`` is an ``(m, 3)`` int64 array of
+    ``(start, end, mate_pos)`` for reads whose mapped same-contig mate lay
+    outside the scanned region (a too-small halo drops these pairs
+    silently in the reference semantics — callers must check overlap with
+    their owned window), and ``min/max_mapq_seen`` are the region-local
+    GRADE statistics for a global allreduce."""
+
+    def __init__(self, batch, filtered_out, in_single, unmatched,
+                 min_mapq_seen, max_mapq_seen):
+        self.batch = batch
+        self.filtered_out = filtered_out
+        self.in_single = in_single
+        self.unmatched = unmatched
+        self.min_mapq_seen = min_mapq_seen
+        self.max_mapq_seen = max_mapq_seen
+
+    def __iter__(self):
+        return iter((self.batch, self.filtered_out, self.in_single))
+
+    def __getitem__(self, i):
+        return (self.batch, self.filtered_out, self.in_single)[i]
+
+
 def read_bam_region(
     path: Path | str,
     config: BamApiConfig,
@@ -169,7 +203,8 @@ def read_bam_region(
     hi: int,
     bai_path: Path | str | None = None,
     ref_id: int = 0,
-) -> Tuple[ReadBatch, np.ndarray, np.ndarray]:
+    defer_grade: bool = False,
+) -> RegionRead:
     """Indexed region read for host-sharded input (coordinate-sorted BAM).
 
     Loads, pairs, and filters only the records with ``lo <= pos <= hi``,
@@ -179,7 +214,13 @@ def read_bam_region(
     ``ids_are_voffsets=True`` — a multi-host job merges its hosts' selected
     voffsets by sort and re-streams once. Pairs whose mates both fall in
     [lo, hi] are kept; callers shard with a halo wider than the maximum
-    mate distance and own reads by start position.
+    mate distance, own reads by start position, and MUST check
+    ``result.unmatched`` against their owned window (see
+    ``parallel.sharded_io``).
+
+    ``defer_grade=True`` skips the GRADE quality remap (which would use
+    region-LOCAL min/max MAPQ and diverge across ranks); the caller
+    allreduces ``min/max_mapq_seen`` and applies the remap globally.
     """
     lib = _load_lib()
     bai = Path(bai_path) if bai_path else Path(str(path) + ".bai")
@@ -209,14 +250,28 @@ def read_bam_region(
     if rc != 0:
         raise IOError(f"read_bam_region({path}): {res.error.decode()}")
     try:
-        batch, filtered_out, in_single = _unpack_read_result(res, config, mode)
+        batch, filtered_out, in_single = _unpack_read_result(
+            res, config, mode, defer_grade=defer_grade
+        )
+        nu = res.n_unmatched
+        unmatched = np.stack(
+            [
+                _to_numpy(res.unmatched_start, nu, np.int64),
+                _to_numpy(res.unmatched_end, nu, np.int64),
+                _to_numpy(res.unmatched_mate_pos, nu, np.int64),
+            ],
+            axis=1,
+        ) if nu else np.zeros((0, 3), np.int64)
+        min_mapq, max_mapq = int(res.min_mapq_seen), int(res.max_mapq_seen)
         _log.debug(
-            "BamApi(region %d-%d): %d records scanned, %d imported",
-            lo, hi, res.total_records, batch.n_reads,
+            "BamApi(region %d-%d): %d records scanned, %d imported, "
+            "%d boundary-unmatched",
+            lo, hi, res.total_records, batch.n_reads, nu,
         )
     finally:
         lib.gd_free_read_result(ctypes.byref(res))
-    return batch, filtered_out, in_single
+    return RegionRead(batch, filtered_out, in_single, unmatched,
+                      min_mapq, max_mapq)
 
 
 def write_bam(

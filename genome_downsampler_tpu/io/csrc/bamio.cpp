@@ -437,6 +437,12 @@ struct PendingRead {
     int32_t l_seq;
     bool is_first;
     int32_t ref_id;
+    // mate bookkeeping for boundary-drop detection in region mode: where
+    // the record claims its mate starts (PNEXT), and whether that mate is
+    // a mapped same-contig record — i.e. one a whole-file import would
+    // have paired with, so dropping it here diverges from single-process
+    int64_t mate_pos;
+    bool mate_relevant;
 };
 
 // Open-addressing QNAME -> PendingRead map: 64-bit FNV-1a fingerprint with
@@ -556,6 +562,14 @@ struct GdReadResult {
     int64_t total_records;
     int64_t min_mapq_seen;       // over accepted pairs (GRADE)
     int64_t max_mapq_seen;
+    // region mode: reads left unpaired at scan end whose mate is a mapped
+    // same-contig record OUTSIDE the scanned region — silently dropping
+    // such boundary pairs is how a too-small halo diverges from a
+    // single-process run, so callers must be able to see them
+    int64_t* unmatched_start;
+    int64_t* unmatched_end;
+    int64_t* unmatched_mate_pos;
+    int64_t n_unmatched;
     char error[256];
 };
 
@@ -644,8 +658,13 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
         if (region && ref_id != region_ref) continue;
         if (region && pos < lo) continue;  // left neighbor's territory
 
+        int32_t next_ref = rd_i32(rec.data() + 20);
+        int64_t next_pos = rd_i32(rec.data() + 24);
+        bool mate_relevant = (flag & 0x1) && !(flag & 0x8) &&
+                             next_ref == ref_id && next_pos >= 0;
         PendingRead cur{rec_id, pos, pos + cigar_rlen(cigar, n_cigar) - 1,
-                        mapq, l_seq, (flag & 0x40) != 0, ref_id};
+                        mapq, l_seq, (flag & 0x40) != 0, ref_id,
+                        next_pos, mate_relevant};
         (void)scan_idx;
         PendingRead mate;
         if (!pending.find_or_insert(
@@ -705,6 +724,22 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
     copy_arr(h.target_lens, out->contig_lengths);
     out->n_contigs = (int64_t)h.target_lens.size();
 
+    if (region) {
+        // reads whose mate (a mapped same-contig record per its own header
+        // fields) never appeared in the scanned region: boundary drops
+        std::vector<int64_t> us, ue, ump;
+        for (const auto& s : pending.slots) {
+            if (s.state != 1 || !s.read.mate_relevant) continue;
+            us.push_back(s.read.start);
+            ue.push_back(s.read.end);
+            ump.push_back(s.read.mate_pos);
+        }
+        out->n_unmatched = (int64_t)us.size();
+        copy_arr(us, out->unmatched_start);
+        copy_arr(ue, out->unmatched_end);
+        copy_arr(ump, out->unmatched_mate_pos);
+    }
+
     std::vector<int64_t> fo;
     if (region) {
         // rejected = scanned voffsets not among the accepted ids
@@ -757,6 +792,9 @@ void gd_free_read_result(GdReadResult* r) {
     std::free(r->contig);
     std::free(r->contig_lengths);
     std::free(r->filtered_out);
+    std::free(r->unmatched_start);
+    std::free(r->unmatched_end);
+    std::free(r->unmatched_mate_pos);
     std::memset(r, 0, sizeof *r);
 }
 

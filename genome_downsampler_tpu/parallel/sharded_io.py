@@ -135,6 +135,38 @@ def _solve_blocked_on_mesh(
     return sel_local
 
 
+def _allgather_varlen_i64(mat: np.ndarray) -> list:
+    """Allgather a per-rank ``(c, m)`` int64 matrix with rank-dependent
+    ``m``. Returns one ``(c, m_p)`` matrix per rank. jax arrays are int32
+    without x64, so values ship as two uint32 planes."""
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    c, m = mat.shape
+    lens = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(np.int32(m)))
+    ).reshape(-1)
+    cap = int(lens.max()) if lens.size else 0
+    if cap == 0:
+        return [np.zeros((c, 0), np.int64) for _ in lens]
+    u = mat.astype(np.uint64)
+    pad = np.zeros((2 * c, cap), np.uint32)
+    pad[:c, :m] = (u >> np.uint64(32)).astype(np.uint32)
+    pad[c:, :m] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(pad))
+    ).reshape(-1, 2 * c, cap)
+    out = []
+    for p in range(gathered.shape[0]):
+        hi = gathered[p, :c, : lens[p]].astype(np.uint64)
+        lo = gathered[p, c:, : lens[p]].astype(np.uint64)
+        out.append(((hi << np.uint64(32)) | lo).view(np.int64).reshape(c, -1))
+    return out
+
+
+QUALITY_ALGOS = ("qmcp-cpu", "qmcp-tpu", "qmcp-lp-cpu", "qmcp-sweep-tpu")
+
+
 def run_sharded(
     path: Path | str,
     max_coverage: int,
@@ -145,6 +177,8 @@ def run_sharded(
     engine: str = "auto",
     block: int = 256,
     windows_per_device: int = 8,
+    algorithm: str = "mcp-tpu",
+    allow_boundary_drops: bool = False,
 ) -> np.ndarray:
     """Sharded downsampling across all processes/devices of the jax job.
 
@@ -152,7 +186,20 @@ def run_sharded(
     additionally writes ``out_path`` when given. Requires a
     coordinate-sorted input; uses ``<path>.bai`` when present. ``halo``
     must be at least max_span + the maximum mate start distance (see the
-    module docstring).
+    module docstring) — and unlike round 1, a violation is now DETECTED:
+    the region reader reports every read whose mapped same-contig mate
+    fell outside the scanned region, and any such boundary drop that
+    could touch this rank's owned window raises (``allow_boundary_drops``
+    downgrades to a warning for deliberately lossy runs).
+
+    ``algorithm``: an MCP name runs the exact sweep on the device mesh
+    (``engine`` as below). A QMCP name (quality-weighted) shards the BAM
+    parse and filtering across ranks, allreduces the GRADE MAPQ range so
+    the quality remap is rank-invariant, allgathers the (start, end,
+    cost, voffset) of owned reads in file order, and solves the exact
+    convex-bucket MCMF identically on every rank — bit-equal output to a
+    single-process ``qmcp-cpu`` run (the solve is replicated, the parse
+    is distributed; read-count envelope documented in ARCHITECTURE.md).
 
     ``engine``: "dense" materializes per-device (win, L) rows (fast for
     small windows); "blocked" uses the O(R/D) packed-code kernel with
@@ -160,9 +207,6 @@ def run_sharded(
     engine for chr1-class windows); "auto" picks by window memory.
     """
     import jax
-    import jax.numpy as jnp
-    from jax.experimental import multihost_utils
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from genome_downsampler_tpu.parallel.launch import global_window_mesh
     from genome_downsampler_tpu.parallel.mesh import make_mesh_solver
@@ -211,11 +255,56 @@ def run_sharded(
     lo_w, hi_w = min(my_devs) * win, (max(my_devs) + 1) * win  # [lo_w, hi_w)
     lo = max(0, lo_w - halo)
     hi = min(n_pad, hi_w + halo) - 1
-    batch, _, _ = read_bam_region(path, config, lo, hi)
+    region = read_bam_region(path, config, lo, hi, defer_grade=True)
+    batch = region.batch
     _log.debug(
         "rank %d: windows [%d, %d), region [%d, %d], %d reads",
         jax.process_index(), lo_w, hi_w, lo, hi, batch.n_reads,
     )
+
+    # Halo-contract enforcement: a read whose mapped same-contig mate fell
+    # outside [lo, hi] was silently dropped by the pairing scan. If either
+    # record of such a pair could touch this rank's owned window, the
+    # sharded output would diverge from a single-process run.
+    if region.unmatched.shape[0]:
+        us, ue, ump = (region.unmatched[:, k] for k in range(3))
+        touches = ((ue >= lo_w) & (us < hi_w)) | (
+            (ump >= lo_w - max_span) & (ump < hi_w)
+        )
+        n_bad = int(touches.sum())
+        if n_bad:
+            worst = int(
+                np.max(np.abs(us[touches] - ump[touches])) + max_span
+            )
+            msg = (
+                f"rank {jax.process_index()}: {n_bad} boundary pair(s) "
+                f"dropped by the region read touch the owned window "
+                f"[{lo_w}, {hi_w}); halo={halo} is too small — the widest "
+                f"offending pair needs >= {worst}"
+            )
+            if not allow_boundary_drops:
+                raise RuntimeError(msg)
+            _log.warning("%s (allow_boundary_drops=True: continuing)", msg)
+
+    # GRADE must be rank-invariant: allreduce the MAPQ range before the
+    # quality remap (round-1 weakness: region-local min/max diverge).
+    if config.amplicon_behaviour.name == "GRADE" and config.bed_path:
+        stats = np.array(
+            [
+                -(region.min_mapq_seen if region.max_mapq_seen >= 0
+                  else 2**31),
+                region.max_mapq_seen,
+            ],
+            np.int64,
+        )
+        gathered = _allgather_varlen_i64(stats.reshape(2, 1))
+        allv = np.concatenate([g.reshape(2, -1) for g in gathered], axis=1)
+        gmin, gmax = int(-allv[0].max()), int(allv[1].max())
+        if gmax >= 0 and gmin < 2**31:
+            batch.quality = (
+                batch.quality - gmin
+                + np.where(region.in_single, gmax - gmin, 0)
+            ).astype(np.int32)
 
     start = np.asarray(batch.start, np.int64)
     end = np.asarray(batch.end, np.int64)
@@ -223,6 +312,11 @@ def run_sharded(
     if span.size and int(span.max()) > max_span:
         raise ValueError(
             f"read span {int(span.max())} exceeds max_span={max_span}"
+        )
+
+    if algorithm in QUALITY_ALGOS:
+        return _run_sharded_qmcp(
+            batch, n, max_coverage, lo_w, hi_w, path, out_path, config
         )
 
     # local target covering this process's windows
@@ -280,38 +374,72 @@ def run_sharded(
     sel_reads = idx_own[picked]
     paired = batch.find_pairs(sel_reads)
     voffs_local = np.asarray(batch.bam_id[paired], np.int64)
+    return _merge_and_write(voffs_local, path, out_path, config)
 
-    # allgather variable-length voffset lists (pad to the global max).
-    # voffsets are 48+ bit values and jax arrays are int32 without x64 —
-    # ship them as two uint32 halves and recombine
-    n_local = np.int32(voffs_local.shape[0])
-    n_all = np.asarray(
-        multihost_utils.process_allgather(jnp.asarray(n_local))
-    ).reshape(-1)
-    cap = int(n_all.max()) if n_all.size else 0
-    if cap:
-        pad = np.zeros((2, cap), np.uint32)
-        u = voffs_local.astype(np.uint64)
-        pad[0, : u.shape[0]] = (u >> np.uint64(32)).astype(np.uint32)
-        pad[1, : u.shape[0]] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        gathered = np.asarray(
-            multihost_utils.process_allgather(jnp.asarray(pad))
-        ).reshape(-1, 2, cap)
-        lens = n_all.reshape(-1)
-        parts = [
-            (
-                gathered[p, 0, : lens[p]].astype(np.uint64) << np.uint64(32)
-            )
-            | gathered[p, 1, : lens[p]].astype(np.uint64)
-            for p in range(gathered.shape[0])
-        ]
-        merged = np.unique(np.concatenate(parts)).astype(np.int64)
-    else:
-        merged = np.zeros(0, np.int64)
 
+def _merge_voffsets(voffs_local: np.ndarray) -> np.ndarray:
+    """Allgather every rank's selected voffsets and return the sorted
+    union (voffsets are 48+ bit; shipped as two uint32 planes)."""
+    parts = _allgather_varlen_i64(voffs_local.reshape(1, -1))
+    if not parts:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate([p.reshape(-1) for p in parts]))
+
+
+def _merge_and_write(voffs_local, path, out_path, config) -> np.ndarray:
+    import jax
+
+    merged = _merge_voffsets(np.asarray(voffs_local, np.int64))
     if out_path is not None and jax.process_index() == 0:
         write_bam(
             path, out_path, merged, config.hts_thread_count,
             ids_are_voffsets=True,
         )
     return merged
+
+
+def _run_sharded_qmcp(
+    batch, n, max_coverage, lo_w, hi_w, path, out_path, config
+) -> np.ndarray:
+    """Exact weighted QMCP in sharded mode: distributed parse, replicated
+    deterministic solve.
+
+    Every read is owned by the rank whose window contains its START (a
+    partition of the read set). Owned reads' (start, end, quality,
+    voffset) are allgathered, re-ordered by voffset (= file order, the
+    same order a whole-file import yields), and the convex-bucket MCMF
+    (``solvers.native_mcmf``) runs identically on every rank — exact and
+    bit-equal to a single-process ``qmcp-cpu`` run, while the expensive
+    BAM scan/pairing/filtering stays sharded. Memory: O(total reads) per
+    rank for the gathered triples (documented envelope; the weighted
+    objective could not otherwise be globally exact)."""
+    from genome_downsampler_tpu.solvers.native_mcmf import mcmf_select_convex
+
+    start = np.asarray(batch.start, np.int64)
+    end = np.asarray(batch.end, np.int64)
+    q = np.asarray(batch.quality, np.int64)
+    voff = np.asarray(batch.bam_id, np.int64)
+    # A whole-file import emits each pair at its SECOND mate's record
+    # (pair-completion order), first mate first. Reproducing that exact
+    # order for the gathered reads makes every within-bucket tie break
+    # identically to a single-process solve: key = (max voffset of the
+    # pair, mate rank). Mates are locally adjacent (index ^ 1).
+    pairmax = np.maximum(voff, voff[np.arange(voff.shape[0]) ^ 1])
+    rank2 = (~np.asarray(batch.is_first, bool)).astype(np.int64)
+    own = (start >= lo_w) & (start < hi_w)
+    mat = np.stack(
+        [start[own], end[own], q[own], voff[own], pairmax[own], rank2[own]]
+    )
+    parts = _allgather_varlen_i64(mat)
+    gs, ge, gq, gv, gpm, gr2 = (
+        np.concatenate([p[k] for p in parts]) for k in range(6)
+    )
+    order = np.lexsort((gr2, gpm))  # == whole-file emission order
+    gs, ge, gq, gv = gs[order], ge[order], gq[order], gv[order]
+    cost = gq.max(initial=0) - gq + 1  # qmcp_cpu_cost_scaling_solver.cpp:44-49
+    sel = mcmf_select_convex(gs, ge, cost, int(n), int(max_coverage))
+    sel_voffs = gv[np.asarray(sel, np.int64)]
+    mine = own & np.isin(voff, sel_voffs)
+    paired = batch.find_pairs(np.flatnonzero(mine))
+    voffs_local = np.asarray(batch.bam_id[paired], np.int64)
+    return _merge_and_write(voffs_local, path, out_path, config)
