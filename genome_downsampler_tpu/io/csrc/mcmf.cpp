@@ -380,6 +380,74 @@ struct ConvexSSP {
         return lo - f;
     }
 
+    // One augmentation along a REVERSE-Dijkstra parent path from `src`
+    // toward its deficit (parents point sink-ward), re-validating every
+    // arc against the post-update potentials and current marginals.
+    // Returns units moved (0 = stale; the source waits for next phase).
+    int64_t try_augment_fwdwalk(int32_t src) {
+        int64_t delta = g.excess[src];
+        if (delta <= 0) return 0;
+        int32_t v = src;
+        while (parent[v] != -1) {
+            int32_t x = parent[v];  // arc LEAVING v on the shortest path
+            int64_t r = run_at_marginal(x);
+            if (r <= 0) return 0;
+            int32_t w = g.to_of(x);
+            if (g.marg_of(x) + pi[v] - pi[w] > 0) return 0;
+            delta = std::min(delta, r);
+            v = w;
+        }
+        if (g.excess[v] >= 0) return 0;  // sink already filled this phase
+        delta = std::min(delta, -g.excess[v]);
+        if (delta <= 0) return 0;
+        int32_t sink = v;
+        v = src;
+        while (parent[v] != -1) {
+            int32_t x = parent[v];
+            int32_t a = x >> 1;
+            g.flow[a] += g.is_fwd(x) ? delta : -delta;
+            v = g.to_of(x);
+        }
+        g.excess[src] -= delta;
+        g.excess[sink] += delta;
+        return delta;
+    }
+
+    // One augmentation along the forward-Dijkstra parent forest from
+    // `sink` back to its source, re-validated likewise.
+    int64_t try_augment(int32_t sink) {
+        int64_t delta = -g.excess[sink];
+        if (delta <= 0) return 0;
+        int32_t v = sink;
+        int32_t src = sink;
+        while (parent[v] != -1) {
+            int32_t x = parent[v];
+            int64_t r = run_at_marginal(x);
+            if (r <= 0) return 0;  // run exhausted by an earlier path
+            int32_t u = g.is_fwd(x) ? g.tail[x >> 1] : g.head[x >> 1];
+            // still a shortest-path arc? (rc == 0 under updated pi;
+            // accept <= 0 so the pre-existing negative-clamp noise can
+            // never starve a phase — the first path of a phase is always
+            // fresh, so every phase routes >= 1 unit and terminates)
+            if (g.marg_of(x) + pi[u] - pi[v] > 0) return 0;
+            delta = std::min(delta, r);
+            v = u;
+            src = v;
+        }
+        delta = std::min(delta, g.excess[src]);
+        if (delta <= 0) return 0;
+        v = sink;
+        while (parent[v] != -1) {
+            int32_t x = parent[v];
+            int32_t a = x >> 1;
+            g.flow[a] += g.is_fwd(x) ? delta : -delta;
+            v = g.is_fwd(x) ? g.tail[a] : g.head[a];
+        }
+        g.excess[src] -= delta;
+        g.excess[sink] += delta;
+        return delta;
+    }
+
     bool run() {
         const int32_t N = g.N;
         pi.assign(N, 0);
@@ -388,7 +456,7 @@ struct ConvexSSP {
             if (g.excess[u] > 0) excess_total += g.excess[u];
         const bool stats = std::getenv("GD_MCMF_STATS") != nullptr;
         auto t0 = std::chrono::steady_clock::now();
-        int64_t n_aug = 0, supply0 = excess_total;
+        int64_t n_phases = 0, n_aug = 0, supply0 = excess_total;
 
         using QE = std::pair<int64_t, int32_t>;
         dist.assign(N, INF64);
@@ -398,11 +466,80 @@ struct ConvexSSP {
         auto dist_of = [&](int32_t u) {
             return dist_gen[u] == gen ? dist[u] : INF64;
         };
+        std::vector<std::pair<int64_t, int32_t>> sinks;
         while (excess_total > 0) {
-            n_aug++;
+            n_phases++;
             gen++;
-            // multi-source Dijkstra from all excess nodes to the nearest
-            // deficit, on reduced marginal costs (>= 0 by invariant)
+            // Phase: ONE multi-source Dijkstra (on reduced marginal
+            // costs, >= 0 by invariant), then route as many endpoints as
+            // the parent forest still admits. The parent forest carries
+            // exactly one path per NON-ROOT endpoint, so the Dijkstra is
+            // rooted at the SMALLER endpoint side: many supplies feeding
+            // few deficits run the reverse (deficit-rooted) search and
+            // each supply gets its own path — the difference between
+            // hours and minutes at chr1 scale (VERDICT round-1 item 10;
+            // ROADMAP "QMCP engines").
+            int64_t n_exc = 0, n_def = 0;
+            for (int32_t u = 0; u < N; ++u) {
+                n_exc += g.excess[u] > 0;
+                n_def += g.excess[u] < 0;
+            }
+            if (n_exc >= n_def) {
+                // --- reverse phase: roots at deficits, route per-source
+                std::priority_queue<QE, std::vector<QE>, std::greater<QE>>
+                    pq;
+                for (int32_t u = 0; u < N; ++u)
+                    if (g.excess[u] < 0) {
+                        dist[u] = 0;
+                        dist_gen[u] = gen;
+                        pq.push({0, u});
+                    }
+                settled.clear();
+                sinks.clear();  // here: sources, nearest-first
+                int64_t found = 0;
+                while (!pq.empty()) {
+                    auto [d, w] = pq.top();
+                    pq.pop();
+                    if (done_gen[w] == gen) continue;
+                    done_gen[w] = gen;
+                    settled.push_back(w);
+                    if (g.excess[w] > 0) {
+                        sinks.push_back({d, w});
+                        found += g.excess[w];
+                        if (found >= excess_total) break;
+                    }
+                    for (int32_t x = g.adj_first[w]; x != -1;
+                         x = g.adj_next[x]) {
+                        int32_t xr = x ^ 1;  // arc (v -> w)
+                        if (g.resid_of(xr) <= 0) continue;
+                        int32_t v = g.to_of(x);
+                        if (done_gen[v] == gen) continue;
+                        int64_t rc = g.marg_of(xr) + pi[v] - pi[w];
+                        int64_t nd = d + (rc > 0 ? rc : 0);
+                        if (nd < dist_of(v)) {
+                            dist[v] = nd;
+                            dist_gen[v] = gen;
+                            parent[v] = xr;
+                            pq.push({nd, v});
+                        }
+                    }
+                }
+                if (sinks.empty()) return false;  // no augmenting path
+                const int64_t D = sinks.back().first;
+                for (int32_t u : settled)
+                    pi[u] += D - std::min(dist[u], D);
+                for (auto& [d_src, src] : sinks) {
+                    while (g.excess[src] > 0) {
+                        int64_t moved = try_augment_fwdwalk(src);
+                        if (moved <= 0) break;
+                        n_aug++;
+                        excess_total -= moved;
+                    }
+                    if (excess_total == 0) break;
+                }
+                continue;
+            }
+            // --- forward phase: roots at supplies, route per-deficit ----
             std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
             for (int32_t u = 0; u < N; ++u)
                 if (g.excess[u] > 0) {
@@ -410,16 +547,23 @@ struct ConvexSSP {
                     dist_gen[u] = gen;
                     pq.push({0, u});
                 }
-            int32_t sink = -1;
-            int64_t d_sink = 0;
             settled.clear();
+            sinks.clear();
+            int64_t deficit_found = 0;
+            const int64_t want = excess_total;
             while (!pq.empty()) {
                 auto [d, u] = pq.top();
                 pq.pop();
                 if (done_gen[u] == gen) continue;
                 done_gen[u] = gen;
                 settled.push_back(u);
-                if (g.excess[u] < 0) { sink = u; d_sink = d; break; }
+                if (g.excess[u] < 0) {
+                    sinks.push_back({d, u});
+                    deficit_found -= g.excess[u];
+                    // enough deficit endpoints to absorb all excess: the
+                    // rest of the line cannot shorten any found path
+                    if (deficit_found >= want) break;
+                }
                 for (int32_t x = g.adj_first[u]; x != -1; x = g.adj_next[x]) {
                     if (g.resid_of(x) <= 0) continue;
                     int32_t v = g.to_of(x);
@@ -435,44 +579,37 @@ struct ConvexSSP {
                     }
                 }
             }
-            if (sink < 0) return false;  // no augmenting path: infeasible
-            // potentials: textbook SSP adds min(dist, d_sink) to every
-            // node; adding the constant d_sink to ALL nodes cancels in the
-            // reduced-cost differences, so only settled nodes (whose delta
-            // is dist[u] - d_sink) need touching — O(|settled|), not O(N)
-            for (int32_t u : settled) pi[u] += dist[u] - d_sink;
+            if (sinks.empty()) return false;  // no augmenting path
+            // potentials: pi[u] += dist[u] - D for settled nodes, where D
+            // is the LAST settled distance (every found sink then has
+            // rc == 0 along its parent path; unsettled nodes keep pi,
+            // consistent because their dist >= D). The constant D cancels
+            // in reduced-cost differences.
+            const int64_t D = sinks.back().first;
+            for (int32_t u : settled)
+                pi[u] += std::min(dist[u], D) - D;
 
-            // bottleneck along the path (and endpoint excess/deficit)
-            int64_t delta = -g.excess[sink];
-            int32_t v = sink;
-            int32_t src = sink;
-            while (parent[v] != -1) {
-                int32_t x = parent[v];
-                delta = std::min(delta, run_at_marginal(x));
-                v = g.is_fwd(x) ? g.tail[x >> 1] : g.head[x >> 1];
-                src = v;
+            // route deficits nearest-first; re-validation keeps every
+            // augmentation on a true shortest path
+            for (auto& [d_sink, sink] : sinks) {
+                while (g.excess[sink] < 0) {
+                    int64_t moved = try_augment(sink);
+                    if (moved <= 0) break;
+                    n_aug++;
+                    excess_total -= moved;
+                }
+                if (excess_total == 0) break;
             }
-            delta = std::min(delta, g.excess[src]);
-            // apply
-            v = sink;
-            while (parent[v] != -1) {
-                int32_t x = parent[v];
-                int32_t a = x >> 1;
-                g.flow[a] += g.is_fwd(x) ? delta : -delta;
-                v = g.is_fwd(x) ? g.tail[a] : g.head[a];
-            }
-            g.excess[src] -= delta;
-            g.excess[sink] += delta;
-            excess_total -= delta;
         }
         if (stats) {
             double ms = std::chrono::duration<double, std::milli>(
                             std::chrono::steady_clock::now() - t0)
                             .count();
             std::fprintf(stderr,
-                         "[mcmf-ssp] supply=%lld augmentations=%lld "
-                         "total=%.0fms\n",
-                         (long long)supply0, (long long)n_aug, ms);
+                         "[mcmf-ssp] supply=%lld phases=%lld "
+                         "augmentations=%lld total=%.0fms\n",
+                         (long long)supply0, (long long)n_phases,
+                         (long long)n_aug, ms);
         }
         return true;
     }
