@@ -59,10 +59,15 @@ def _fail_json(msg: str) -> str:
 def _orchestrate() -> None:
     """Run the measurement in child processes: the dev TPU relay stalls
     multi-MB transfers unpredictably, so try the TPU twice with a hard
-    timeout, then fall back to the CPU backend (clearly labeled)."""
+    timeout, then fall back to the CPU backend (clearly labeled).
+
+    Only a line with value > 0 counts as a result (round 2 shipped a 0
+    because the watchdog's failure JSON was accepted as the answer);
+    failure lines are kept solely as the last-resort output."""
     import subprocess
 
-    attempts = [([], 560), ([], 560), (["--cpu"], 560)]
+    last_fail = _fail_json("all bench attempts stalled (dev relay)")
+    attempts = [([], 560), ([], 560), (["--cpu"], 700)]
     for extra, budget in attempts:
         try:
             proc = subprocess.run(
@@ -74,18 +79,38 @@ def _orchestrate() -> None:
         except subprocess.TimeoutExpired:
             continue
         for line in proc.stdout.splitlines():
-            if line.startswith("{"):
+            if not line.startswith("{"):
+                continue
+            try:
+                value = json.loads(line).get("value", 0)
+            except json.JSONDecodeError:
+                continue
+            if value and value > 0:
                 print(line)
                 return
-    print(_fail_json("all bench attempts stalled (dev relay)"))
+            last_fail = line
+    print(last_fail)
+
+
+RESULT: dict | None = None  # best-so-far payload, printed if a later
+# phase stalls: the headline must never regress to 0 because an optional
+# detail phase (E. coli compare, roofline) hit a relay stall.
 
 
 def _install_watchdog(seconds: int) -> None:
     """The dev TPU rides an HTTP relay that occasionally stalls transfers
-    indefinitely; a stalled bench must fall back, not hang the driver."""
+    indefinitely; a stalled bench must emit its best-so-far result (or a
+    failure line as last resort), not hang the driver."""
     import signal
 
     def fire(signum, frame):
+        if RESULT is not None and RESULT.get("value"):
+            RESULT.setdefault("detail", {})["note_watchdog"] = (
+                "relay watchdog fired during an optional later phase; "
+                "headline above was fully measured"
+            )
+            print(json.dumps(RESULT), flush=True)
+            os._exit(0)
         print(_fail_json("device transfer stalled; relay watchdog fired"),
               flush=True)
         os._exit(2)
@@ -289,37 +314,40 @@ def main() -> None:
         dev_phases, host_phases,
     )
 
-    # --- config 4 (E. coli scale) + kernel roofline ----------------------
-    ecoli = _ecoli_compare(use_device=backend in ("tpu", "axon"))
-    roof = _roofline(batch, M)
+    # Headline is measured: publish it as best-so-far BEFORE the optional
+    # enrichment phases, so a relay stall there cannot zero the bench.
+    global RESULT
+    n_reads = batch.n_reads
+    RESULT = {
+        "metric": METRIC,
+        "value": round(n_reads / dev_total),
+        "unit": "reads/s",
+        "vs_baseline": round(host_total / dev_total, 3),
+        "detail": {
+            "backend": backend,
+            "device_bam_to_bam_s": round(dev_total, 3),
+            "host_bam_to_bam_s": round(host_total, 3),
+            "device_phases": dev_phases,
+            "host_phases": host_phases,
+            "bam_synth_s": round(synth_s, 1),
+            "note": "headline includes BAM parse, pack, H2D "
+                    "transfer, solve, reconstruct, pairing, and "
+                    "the BAM re-stream write on both sides",
+        },
+    }
+
+    # --- config 4 (E. coli scale) + kernel roofline (optional detail) ----
+    on_tpu = backend in ("tpu", "axon")
+    RESULT["detail"]["ecoli_16p7M_reads"] = _ecoli_compare(use_device=on_tpu)
+    if on_tpu:
+        # interpret-mode Pallas (CPU) takes minutes at this step count;
+        # the roofline is a hardware statement, so only measure it there.
+        RESULT["detail"]["sweep_kernel_roofline"] = _roofline(batch, M)
 
     import signal
 
     signal.alarm(0)
-    n_reads = batch.n_reads
-    print(
-        json.dumps(
-            {
-                "metric": METRIC,
-                "value": round(n_reads / dev_total),
-                "unit": "reads/s",
-                "vs_baseline": round(host_total / dev_total, 3),
-                "detail": {
-                    "backend": backend,
-                    "device_bam_to_bam_s": round(dev_total, 3),
-                    "host_bam_to_bam_s": round(host_total, 3),
-                    "device_phases": dev_phases,
-                    "host_phases": host_phases,
-                    "bam_synth_s": round(synth_s, 1),
-                    "ecoli_16p7M_reads": ecoli,
-                    "sweep_kernel_roofline": roof,
-                    "note": "headline includes BAM parse, pack, H2D "
-                            "transfer, solve, reconstruct, pairing, and "
-                            "the BAM re-stream write on both sides",
-                },
-            }
-        )
-    )
+    print(json.dumps(RESULT))
 
 
 if __name__ == "__main__":

@@ -179,8 +179,9 @@ def run_downsample(args, registry) -> int:
                 "algorithm %r would silently ignore it", args.algorithm)
             return 1
         from genome_downsampler_tpu.parallel.windows import WindowedMcpSolver
+        from genome_downsampler_tpu.solvers.base import SpanGuard
 
-        solver = WindowedMcpSolver(n_windows=args.windows)
+        solver = SpanGuard(WindowedMcpSolver(n_windows=args.windows))
     else:
         solver = registry.get(args.algorithm)
 

@@ -140,7 +140,14 @@ struct BgzfReader {
             i += 4 + slen;
         }
         if (bsize < 0) { error = "BGZF BC subfield missing"; return false; }
-        size_t cdata_len = static_cast<size_t>(bsize) + 1 - kGzipHeaderSize + 6 - xlen - 8;
+        // BSIZE is (total block size - 1); a corrupt value can otherwise
+        // underflow this size_t arithmetic into a multi-GB read
+        int64_t cdata_len_s = (int64_t)bsize + 1 - kGzipHeaderSize + 6 -
+                              (int64_t)xlen - 8;
+        if (cdata_len_s < 0 || cdata_len_s > (int64_t)kMaxBlock) {
+            error = "bad BGZF BSIZE"; return false;
+        }
+        size_t cdata_len = (size_t)cdata_len_s;
         cdata.resize(cdata_len);
         if (std::fread(cdata.data(), 1, cdata_len, f) != cdata_len) {
             error = "truncated BGZF block"; return false;
@@ -149,6 +156,9 @@ struct BgzfReader {
         if (std::fread(tail, 1, 8, f) != 8) { error = "truncated BGZF tail"; return false; }
         isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
                 (uint32_t(tail[7]) << 24);
+        if (isize > kMaxBlock) {  // spec caps BGZF ISIZE at 64 KiB
+            error = "bad BGZF ISIZE"; return false;
+        }
         return true;
     }
 
@@ -409,16 +419,21 @@ bool read_header(BgzfReader& r, HeaderInfo& h, std::string& error) {
     uint8_t b4[4];
     if (!r.read(b4, 4)) { error = "truncated header"; return false; }
     int32_t l_text = rd_i32(b4);
+    if (l_text < 0) { error = "bad header text length"; return false; }
     h.raw.insert(h.raw.end(), b4, b4 + 4);
     size_t off = h.raw.size();
     h.raw.resize(off + l_text);
     if (!r.read(h.raw.data() + off, l_text)) { error = "truncated header text"; return false; }
     if (!r.read(b4, 4)) { error = "truncated n_ref"; return false; }
     h.n_ref = rd_i32(b4);
+    if (h.n_ref < 0) { error = "bad n_ref"; return false; }
     h.raw.insert(h.raw.end(), b4, b4 + 4);
     for (int32_t i = 0; i < h.n_ref; ++i) {
         if (!r.read(b4, 4)) { error = "truncated ref name len"; return false; }
         int32_t l_name = rd_i32(b4);
+        if (l_name < 0 || l_name > (1 << 20)) {
+            error = "bad ref name length"; return false;
+        }
         h.raw.insert(h.raw.end(), b4, b4 + 4);
         off = h.raw.size();
         h.raw.resize(off + l_name + 4);
@@ -629,6 +644,10 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
         uint8_t b4[4];
         if (!r.read(b4, 4)) { std::snprintf(out->error, 256, "truncated record size"); return 1; }
         int32_t block_size = rd_i32(b4);
+        // fixed fields occupy 32 bytes; a smaller/negative size is corrupt
+        if (block_size < 32) {
+            std::snprintf(out->error, 256, "bad record block size"); return 1;
+        }
         rec.resize(block_size);
         if (!r.read(rec.data(), block_size)) {
             std::snprintf(out->error, 256, "truncated record"); return 1;
@@ -650,6 +669,11 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
         uint16_t n_cigar = rd_u16(rec.data() + 12);
         uint16_t flag = rd_u16(rec.data() + 14);
         int32_t l_seq = rd_i32(rec.data() + 16);
+        if (32 + (int64_t)l_read_name + 4 * (int64_t)n_cigar > block_size) {
+            std::snprintf(out->error, 256,
+                          "record name/cigar fields exceed block");
+            return 1;
+        }
         const char* qname = reinterpret_cast<const char*>(rec.data() + 32);
         const uint8_t* cigar = rec.data() + 32 + l_read_name;
 
@@ -822,6 +846,9 @@ int64_t gd_write_bam(const char* in_path, const char* out_path, int threads,
         uint8_t b4[4];
         if (!r.read(b4, 4)) { std::snprintf(err, 256, "truncated record size"); return -1; }
         int32_t block_size = rd_i32(b4);
+        if (block_size < 32) {
+            std::snprintf(err, 256, "bad record block size"); return -1;
+        }
         rec.resize(block_size);
         if (!r.read(rec.data(), block_size)) {
             std::snprintf(err, 256, "truncated record"); return -1;
@@ -875,6 +902,9 @@ int64_t gd_write_bam_voffsets(const char* in_path, const char* out_path,
         uint8_t b4[4];
         if (!r.read(b4, 4)) { std::snprintf(err, 256, "truncated record size"); return -1; }
         int32_t block_size = rd_i32(b4);
+        if (block_size < 32) {
+            std::snprintf(err, 256, "bad record block size"); return -1;
+        }
         rec.resize(block_size);
         if (!r.read(rec.data(), block_size)) {
             std::snprintf(err, 256, "truncated record"); return -1;

@@ -34,7 +34,9 @@ class SolverRegistry:
     def get(self, name: str) -> Solver:
         if name not in self._factories:
             raise KeyError(f"unknown solver: {name!r}; known: {self.get_names()}")
-        return self._factories[name]()
+        from genome_downsampler_tpu.solvers.base import SpanGuard
+
+        return SpanGuard(self._factories[name]())
 
     def uses_quality_of_reads(self, name: str) -> bool:
         """Static lookup (no instantiation) — the app layer needs this before
