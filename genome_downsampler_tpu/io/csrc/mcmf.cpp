@@ -349,6 +349,13 @@ struct ConvexSSP {
     // is valid only when its stamp equals the current generation
     std::vector<int32_t> dist_gen, done_gen;
     std::vector<int32_t> settled;
+    // zero-length-edge fast path: nodes reached at exactly the current
+    // popped distance (rc == 0 — the chain arcs and the zero-reduced-cost
+    // corridor along established shortest paths) settle via this stack
+    // with no heap traffic. On this line network most relaxations are
+    // zero-length, so this removes the O(log n) factor from the dominant
+    // Dijkstra cost (ROADMAP "QMCP engines": line-aware shortest paths).
+    std::vector<int32_t> zstack;
     int32_t gen = 0;
 
     // forward residual units sharing the current marginal cost (the safe
@@ -470,6 +477,12 @@ struct ConvexSSP {
         while (excess_total > 0) {
             n_phases++;
             gen++;
+            if (stats && n_phases % 1000 == 0) {
+                std::fprintf(stderr,
+                             "[ssp] phase=%lld excess=%lld aug=%lld\n",
+                             (long long)n_phases, (long long)excess_total,
+                             (long long)n_aug);
+            }
             // Phase: ONE multi-source Dijkstra (on reduced marginal
             // costs, >= 0 by invariant), then route as many endpoints as
             // the parent forest still admits. The parent forest carries
@@ -492,21 +505,25 @@ struct ConvexSSP {
                     if (g.excess[u] < 0) {
                         dist[u] = 0;
                         dist_gen[u] = gen;
+                        // clear the stale pointer from earlier phases: the
+                        // augmentation walk stops at parent == -1, so a
+                        // root carrying an old chain would be walked PAST
+                        // the root — stale pointers can even cycle, looping
+                        // the walk forever (and corrupting flows)
+                        parent[u] = -1;
                         pq.push({0, u});
                     }
                 settled.clear();
                 sinks.clear();  // here: sources, nearest-first
+                zstack.clear();
                 int64_t found = 0;
-                while (!pq.empty()) {
-                    auto [d, w] = pq.top();
-                    pq.pop();
-                    if (done_gen[w] == gen) continue;
+                auto settle_rev = [&](int64_t d, int32_t w) -> bool {
                     done_gen[w] = gen;
                     settled.push_back(w);
                     if (g.excess[w] > 0) {
                         sinks.push_back({d, w});
                         found += g.excess[w];
-                        if (found >= excess_total) break;
+                        if (found >= excess_total) return true;
                     }
                     for (int32_t x = g.adj_first[w]; x != -1;
                          x = g.adj_next[x]) {
@@ -520,8 +537,24 @@ struct ConvexSSP {
                             dist[v] = nd;
                             dist_gen[v] = gen;
                             parent[v] = xr;
-                            pq.push({nd, v});
+                            // nd == d settles heap-free at this level
+                            if (nd == d) zstack.push_back(v);
+                            else pq.push({nd, v});
                         }
+                    }
+                    return false;
+                };
+                bool stop = false;
+                while (!pq.empty() && !stop) {
+                    auto [d, w] = pq.top();
+                    pq.pop();
+                    if (done_gen[w] == gen) continue;
+                    stop = settle_rev(d, w);
+                    while (!zstack.empty() && !stop) {
+                        int32_t v = zstack.back();
+                        zstack.pop_back();
+                        if (done_gen[v] == gen) continue;
+                        stop = settle_rev(d, v);
                     }
                 }
                 if (sinks.empty()) return false;  // no augmenting path
@@ -545,16 +578,15 @@ struct ConvexSSP {
                 if (g.excess[u] > 0) {
                     dist[u] = 0;
                     dist_gen[u] = gen;
+                    parent[u] = -1;  // see reverse phase: stale-root guard
                     pq.push({0, u});
                 }
             settled.clear();
             sinks.clear();
+            zstack.clear();
             int64_t deficit_found = 0;
             const int64_t want = excess_total;
-            while (!pq.empty()) {
-                auto [d, u] = pq.top();
-                pq.pop();
-                if (done_gen[u] == gen) continue;
+            auto settle_fwd = [&](int64_t d, int32_t u) -> bool {
                 done_gen[u] = gen;
                 settled.push_back(u);
                 if (g.excess[u] < 0) {
@@ -562,7 +594,7 @@ struct ConvexSSP {
                     deficit_found -= g.excess[u];
                     // enough deficit endpoints to absorb all excess: the
                     // rest of the line cannot shorten any found path
-                    if (deficit_found >= want) break;
+                    if (deficit_found >= want) return true;
                 }
                 for (int32_t x = g.adj_first[u]; x != -1; x = g.adj_next[x]) {
                     if (g.resid_of(x) <= 0) continue;
@@ -575,8 +607,23 @@ struct ConvexSSP {
                         dist[v] = nd;
                         dist_gen[v] = gen;
                         parent[v] = x;
-                        pq.push({nd, v});
+                        if (nd == d) zstack.push_back(v);
+                        else pq.push({nd, v});
                     }
+                }
+                return false;
+            };
+            bool stop = false;
+            while (!pq.empty() && !stop) {
+                auto [d, u] = pq.top();
+                pq.pop();
+                if (done_gen[u] == gen) continue;
+                stop = settle_fwd(d, u);
+                while (!zstack.empty() && !stop) {
+                    int32_t v = zstack.back();
+                    zstack.pop_back();
+                    if (done_gen[v] == gen) continue;
+                    stop = settle_fwd(d, v);
                 }
             }
             if (sinks.empty()) return false;  // no augmenting path

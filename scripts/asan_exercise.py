@@ -74,6 +74,35 @@ def main():
     lib.gd_free_i32(p_packed)
     lib.gd_free_i32(p_counts)
 
+    # fuzz sweep under ASan: corrupt/truncated inputs must be rejected
+    # cleanly (see tests/test_io_fuzz.py for the pytest-side corpus)
+    blob = path.read_bytes()
+    frng = np.random.default_rng(20260820)
+    fz = tmp / "fuzz.bam"
+    n_rej = 0
+    for cut in range(0, len(blob), max(1, len(blob) // 32)):
+        fz.write_bytes(blob[:cut])
+        try:
+            read_bam(fz, cfg)
+        except IOError:
+            n_rej += 1
+    offsets = list(range(0, 40)) + sorted(
+        frng.integers(0, len(blob), 120).tolist()
+    )
+    for off in offsets:
+        mut = bytearray(blob)
+        mut[off] ^= 0xFF
+        fz.write_bytes(bytes(mut))
+        try:
+            read_bam(fz, cfg)
+        except IOError:
+            n_rej += 1
+        try:
+            write_bam(fz, tmp / "fo.bam", full.bam_id[:4])
+        except IOError:
+            pass
+    assert n_rej > 0
+
     print("ASAN exercise: all native paths OK", flush=True)
 
 

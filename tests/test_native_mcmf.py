@@ -55,6 +55,32 @@ def test_mcmf_medium_valid_and_quality_preferring(engine, monkeypatch):
     assert cost[sel].sum() <= cost[mcp].sum()
 
 
+def test_ssp_grade_remapped_costs_regression(monkeypatch):
+    """Regression: SSP's augmentation walk once followed STALE parent
+    pointers past a phase's Dijkstra roots (parent[] was never re-cleared
+    per phase), which cycled forever on this GRADE-remapped workload —
+    amplicon-graded qualities spread costs 1..59 over a dip-heavy target,
+    driving many alternating forward/reverse phases. Both engines must
+    terminate and agree on the optimum cost."""
+    rng = np.random.default_rng(3)
+    batch = rand_reads_uniform(rng, 1500, 4000, 120)
+    # GRADE-like remap: in-amplicon pairs boosted above the rest
+    q = np.asarray(batch.quality) % 30 + 31
+    boost = (np.asarray(batch.start) < 1500) | (np.asarray(batch.start) >= 1800)
+    batch.quality = np.where(boost, q + 28, q - 31).astype(np.int32)
+    costs = {}
+    for engine in ("ssp", "scale"):
+        monkeypatch.setenv("GD_MCMF_ENGINE", engine)
+        sel = NativeQmcpSolver().solve(10, batch)
+        q64 = np.asarray(batch.quality, np.int64)
+        cost = q64.max() - q64 + 1
+        costs[engine] = int(cost[sel].sum())
+        n = batch.ref_genome_length
+        capped = np.minimum(np_coverage(batch, n), 10)
+        assert np.all(np_coverage(batch, n, sel) >= capped), engine
+    assert costs["ssp"] == costs["scale"]
+
+
 def test_mcmf_empty():
     from genome_downsampler_tpu.core.readbatch import ReadBatch
 
