@@ -69,8 +69,8 @@ def _blocked_relax_local(
         from_left = jax.lax.ppermute(c_out[-1], axis, right_perm)
         return jnp.concatenate([from_left[None, :], c_out[:-1]], axis=0)
 
-    zeros = jax.lax.pvary(
-        jnp.zeros((W, L), jnp.int32), (axis,)
+    zeros = jax.lax.pcast(
+        jnp.zeros((W, L), jnp.int32), axis, to="varying"
     )
     sel, a_out, s_out = passes(zeros, zeros)
 

@@ -133,10 +133,15 @@ def test_long_genome_dispatches_to_host_engine():
 
 
 def test_registry_qmcp_tpu_is_exact_solver():
+    from genome_downsampler_tpu.solvers.base import SpanGuard
     from genome_downsampler_tpu.solvers.registry import default_registry
 
     reg = default_registry()
-    assert isinstance(reg.get("qmcp-tpu"), QmcpDeviceMcmfSolver)
+    solver = reg.get("qmcp-tpu")
+    # the registry shields every solver from zero-span reads (SpanGuard);
+    # the production engine underneath must be the exact device MCMF
+    assert isinstance(solver, SpanGuard)
+    assert isinstance(solver.inner, QmcpDeviceMcmfSolver)
     assert reg.uses_quality_of_reads("qmcp-tpu")
 
 
