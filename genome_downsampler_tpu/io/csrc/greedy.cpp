@@ -213,6 +213,60 @@ int64_t gd_greedy_mcp(
 
 void gd_free_i64(int64_t* p) { std::free(p); }
 
+// Identity reconstruction for the device sweep solvers: given the per-end
+// selected counts the kernel emits (solvers/device_sweep.reconstruct_selection
+// semantics), mark, per end bucket e, the sel_per_end[e] reads with smallest
+// (start, index). Two stable counting sorts — O(R + n), no comparison sort;
+// the numpy lexsort this replaces costs seconds at 10M+ reads.
+// out_selected: caller-allocated uint8[R]. Returns selected count, -1 on
+// error (bounds, or a bucket quota exceeding its read count).
+int64_t gd_reconstruct(
+    const int64_t* start, const int64_t* end, int64_t R,
+    const int64_t* sel_per_end, int64_t n, uint8_t* out_selected) {
+    if (R >= INT32_MAX || n >= INT32_MAX) return -1;
+    std::memset(out_selected, 0, (size_t)R);
+    if (R == 0) return 0;
+    for (int64_t i = 0; i < R; ++i)
+        if (start[i] < 0 || end[i] < start[i] || end[i] >= n) return -1;
+
+    Buffers& B = bufs();
+    // stable counting sort by start (index order kept within a position)
+    int32_t* counts = B.counts.get_zeroed(n + 1);
+    for (int64_t i = 0; i < R; ++i) counts[start[i]]++;
+    int64_t* start_off = B.offsets.get(n + 2);
+    start_off[0] = 0;
+    for (int64_t j = 0; j <= n; ++j)
+        start_off[j + 1] = start_off[j] + counts[j];
+    int32_t* by_start = B.by_start.get(R);
+    for (int64_t i = 0; i < R; ++i) {
+        int64_t s = start[i];
+        by_start[start_off[s] + (start_off[s + 1] - start_off[s] -
+                                 counts[s]--)] = (int32_t)i;
+    }
+    // stable counting re-sort by end -> (end, start, index) order
+    int32_t* end_cnt = B.counts.get_zeroed(n + 1);
+    for (int64_t i = 0; i < R; ++i) end_cnt[end[i]]++;
+    int64_t* end_off = B.offsets2.get(n + 2);
+    end_off[0] = 0;
+    for (int64_t j = 0; j <= n; ++j) end_off[j + 1] = end_off[j] + end_cnt[j];
+    int32_t* by_end = B.by_end.get(R);
+    for (int64_t q = 0; q < R; ++q) {
+        int32_t i = by_start[q];
+        int64_t e = end[i];
+        by_end[end_off[e] + (end_off[e + 1] - end_off[e] - end_cnt[e]--)] = i;
+    }
+    int64_t total = 0;
+    for (int64_t e = 0; e < n; ++e) {
+        int64_t quota = sel_per_end[e];
+        if (quota < 0 || quota > end_off[e + 1] - end_off[e]) return -1;
+        for (int64_t q = end_off[e]; quota > 0; ++q, --quota) {
+            out_selected[by_end[q]] = 1;
+            total++;
+        }
+    }
+    return total;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

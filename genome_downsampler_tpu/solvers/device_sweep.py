@@ -147,8 +147,17 @@ def reconstruct_selection(
     — the only order guaranteed consistent with availability at take time.
     ``prefer_quality`` is accepted for future quality-aware bucket interiors
     but is currently ignored (see QmcpDeviceSweepSolver notes).
+
+    Large batches dispatch to the O(R + n) C counting-sort implementation
+    (``io/csrc/greedy.cpp::gd_reconstruct``); the numpy lexsort below is the
+    fallback and small-input path.
     """
     r = start.shape[0]
+    if r >= 200_000:
+        try:
+            return _reconstruct_native(start, end, sel_per_end)
+        except OSError:
+            pass  # native lib unavailable: numpy path below
     order = np.lexsort((np.arange(r), start, end))
     e_sorted = end[order]
     # rank within each end group
@@ -160,9 +169,78 @@ def reconstruct_selection(
     return np.sort(order[take]).astype(np.int64)
 
 
+def _reconstruct_native(
+    start: np.ndarray, end: np.ndarray, sel_per_end: np.ndarray
+) -> np.ndarray:
+    import ctypes
+
+    from genome_downsampler_tpu.io.build import build_bamio
+
+    lib = ctypes.CDLL(str(build_bamio()))
+    lib.gd_reconstruct.restype = ctypes.c_int64
+    lib.gd_reconstruct.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    s = np.ascontiguousarray(start, np.int64)
+    e = np.ascontiguousarray(end, np.int64)
+    spe = np.ascontiguousarray(sel_per_end, np.int64)
+    n = spe.shape[0]
+    mask = np.empty(s.shape[0], np.uint8)
+    total = lib.gd_reconstruct(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        s.shape[0],
+        spe.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if total < 0:
+        raise ValueError(
+            "gd_reconstruct: invalid reads or per-end quota exceeds bucket"
+        )
+    return np.flatnonzero(mask).astype(np.int64)
+
+
 # dense (n, L) int32 histogram budget before mcp-tpu switches to the
 # O(R)-memory blocked kernel (same cutoff family as parallel/sharded_io)
 DENSE_ROWS_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_dev", "max_coverage", "max_span", "use_pallas", "block"),
+)
+def _dense_pipeline(
+    start: jax.Array,
+    end: jax.Array,
+    w: jax.Array,
+    n_dev: int,
+    max_coverage: int,
+    max_span: int,
+    use_pallas: bool,
+    block: int,
+):
+    """Coverage -> target -> rows -> sweep as ONE compiled program.
+
+    Running these eagerly costs one dispatch per op; over the dev TPU's HTTP
+    relay each dispatch is a round-trip and the un-fused scatter/cumsum ops
+    dominate the solve wall time by an order of magnitude."""
+    cov = coverage_from_intervals(start, end, n_dev, w)
+    target = capped_coverage(cov, max_coverage)
+    span = end - start + 1
+    rows = build_start_rows(start, span, w, n_dev, max_span)
+    zeros = jnp.zeros(max_span, jnp.int32)
+    if use_pallas:
+        from genome_downsampler_tpu.ops.pallas_sweep import pallas_sweep_counts
+
+        sel_per_end, _, _ = pallas_sweep_counts(
+            rows, target, zeros, zeros, max_span, block=block
+        )
+    else:
+        sel_per_end, _, _ = sweep_counts(rows, target, zeros, zeros, max_span)
+    return sel_per_end
 
 
 class McpDeviceSweepSolver(Solver):
@@ -238,25 +316,34 @@ class McpDeviceSweepSolver(Solver):
         end = jnp.asarray(arrays["end"])
         w = jnp.asarray(valid).astype(jnp.int32)
 
-        cov = coverage_from_intervals(start, end, n_dev, w)
-        target = capped_coverage(cov, int(max_coverage))
-        span = end - start + 1
-        rows = build_start_rows(start, span, w, n_dev, self.max_span)
-        zeros = jnp.zeros(self.max_span, jnp.int32)
-        if use_pallas:
-            from genome_downsampler_tpu.ops.pallas_sweep import pallas_sweep_counts
-
-            sel_per_end, _, _ = pallas_sweep_counts(
-                rows, target, zeros, zeros, self.max_span, block=block
-            )
-        else:
-            sel_per_end, _, _ = sweep_counts(
-                rows, target, zeros, zeros, self.max_span
-            )
+        sel_per_end = _dense_pipeline(
+            start, end, w, n_dev, int(max_coverage), self.max_span,
+            use_pallas, block,
+        )
         sel_np = np.asarray(sel_per_end)[:n]
         return reconstruct_selection(
             np.asarray(batch.start, np.int64), np.asarray(batch.end, np.int64), sel_np
         )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "max_coverage", "max_span")
+)
+def _takes_pipeline(
+    start: jax.Array,
+    end: jax.Array,
+    w: jax.Array,
+    n: int,
+    max_coverage: int,
+    max_span: int,
+):
+    """Coverage -> target -> rows -> take-matrix sweep, one compiled program
+    (see ``_dense_pipeline`` for why fusion matters on the dev relay)."""
+    cov = coverage_from_intervals(start, end, n, w)
+    target = capped_coverage(cov, max_coverage)
+    span = end - start + 1
+    rows = build_start_rows(start, span, w, n, max_span)
+    return sweep_counts_with_takes(rows, target, max_span)
 
 
 def quality_aware_assignment(
@@ -340,11 +427,9 @@ class QmcpDeviceSweepSolver(McpDeviceSweepSolver):
         start = jnp.asarray(arrays["start"])
         end = jnp.asarray(arrays["end"])
         w = jnp.asarray(valid).astype(jnp.int32)
-        cov = coverage_from_intervals(start, end, n, w)
-        target = capped_coverage(cov, int(max_coverage))
-        span = end - start + 1
-        rows = build_start_rows(start, span, w, n, self.max_span)
-        takes = np.asarray(sweep_counts_with_takes(rows, target, self.max_span))
+        takes = np.asarray(
+            _takes_pipeline(start, end, w, n, int(max_coverage), self.max_span)
+        )
         jj, kk = np.nonzero(takes)
         counts = takes[jj, kk]
         takes_j = np.repeat(jj, counts).astype(np.int64)
