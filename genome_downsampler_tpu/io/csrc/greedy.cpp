@@ -48,6 +48,9 @@ struct Arena {
 struct Buffers {
     Arena<int32_t> diff, dec, avail, sel_per_end, counts, by_start, by_end;
     Arena<int64_t> offsets, offsets2;
+    // reconstruction offsets fit int32 (cumulative counts <= R < 2^31);
+    // separate arenas halve the first-touch page cost at chromosome scale
+    Arena<int32_t> roff, roff2;
     Arena<uint64_t> mask;
     Arena<uint8_t> selected;
 };
@@ -213,6 +216,43 @@ int64_t gd_greedy_mcp(
 
 void gd_free_i64(int64_t* p) { std::free(p); }
 
+// Capped-coverage target min(coverage, M) per base — the device sweep's
+// input, computed host-side so the solver ships one small target array
+// instead of the raw start/end arrays (transfer diet for the dev relay;
+// semantics of ops/coverage.py::capped_coverage). Threaded difference
+// histogram + sequential cumsum. out: caller-allocated int32[n_pad]
+// (positions >= n get 0 coverage by construction since end < n).
+// Returns 0, -1 on error.
+int64_t gd_capped_target(
+    const int64_t* start, const int64_t* end, int64_t R,
+    int64_t n_pad, int64_t max_coverage, int32_t* out) {
+    if (n_pad >= INT32_MAX) return -1;
+    for (int64_t i = 0; i < R; ++i)
+        if (start[i] < 0 || end[i] < start[i] || end[i] >= n_pad) return -1;
+    const int64_t T = 2;
+    std::vector<std::vector<int32_t>> part(T);
+    std::vector<std::thread> pool;
+    for (int64_t k = 0; k < T; ++k) {
+        pool.emplace_back([&, k] {
+            auto& d = part[k];
+            d.assign(n_pad + 1, 0);
+            int64_t r0 = R * k / T, r1 = R * (k + 1) / T;
+            for (int64_t r = r0; r < r1; ++r) {
+                d[start[r]]++;
+                d[end[r] + 1]--;
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
+    int64_t run = 0;
+    const int32_t cap = (int32_t)std::min<int64_t>(max_coverage, INT32_MAX);
+    for (int64_t j = 0; j < n_pad; ++j) {
+        run += part[0][j] + part[1][j];
+        out[j] = run < cap ? (int32_t)run : cap;
+    }
+    return 0;
+}
+
 // Identity reconstruction for the device sweep solvers: given the per-end
 // selected counts the kernel emits (solvers/device_sweep.reconstruct_selection
 // semantics), mark, per end bucket e, the sel_per_end[e] reads with smallest
@@ -233,7 +273,7 @@ int64_t gd_reconstruct(
     // stable counting sort by start (index order kept within a position)
     int32_t* counts = B.counts.get_zeroed(n + 1);
     for (int64_t i = 0; i < R; ++i) counts[start[i]]++;
-    int64_t* start_off = B.offsets.get(n + 2);
+    int32_t* start_off = B.roff.get(n + 2);
     start_off[0] = 0;
     for (int64_t j = 0; j <= n; ++j)
         start_off[j + 1] = start_off[j] + counts[j];
@@ -246,7 +286,7 @@ int64_t gd_reconstruct(
     // stable counting re-sort by end -> (end, start, index) order
     int32_t* end_cnt = B.counts.get_zeroed(n + 1);
     for (int64_t i = 0; i < R; ++i) end_cnt[end[i]]++;
-    int64_t* end_off = B.offsets2.get(n + 2);
+    int32_t* end_off = B.roff2.get(n + 2);
     end_off[0] = 0;
     for (int64_t j = 0; j <= n; ++j) end_off[j + 1] = end_off[j] + end_cnt[j];
     int32_t* by_end = B.by_end.get(R);

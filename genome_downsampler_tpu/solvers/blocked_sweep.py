@@ -35,39 +35,87 @@ from genome_downsampler_tpu.solvers.device_sweep import (
     jax.jit,
     static_argnames=(
         "n_windows", "block", "max_span", "chunk", "interpret",
-        "n_pad", "win", "max_coverage",
+        "win", "static_chunks", "out_dtype",
     ),
 )
 def _blocked_pipeline(
-    packed: jax.Array,   # int32[nbw, W, cap]
+    packed: jax.Array,   # int32 | uint16 [nbw, W, cap] (u16 sentinel 0xFFFF)
     counts: jax.Array,   # int32[nbw, W]
-    start: jax.Array,    # int32[R]
-    end: jax.Array,      # int32[R]
+    target: jax.Array,   # int8 | int16 | int32 [W * win] capped target
     n_windows: int,
     block: int,
     max_span: int,
     chunk: int,
     interpret: bool,
-    n_pad: int,
     win: int,
-    max_coverage: int,
+    static_chunks: bool = False,
+    out_dtype: str = "int32",
 ):
-    """Capped-coverage target + relaxed blocked sweep as ONE compiled
-    program (one dispatch over the dev relay; eager scatter/cumsum here
-    previously cost 10x the kernel time)."""
-    s = jnp.clip(start, 0, n_pad)
-    e1 = jnp.clip(end + 1, 0, n_pad)
-    diff = (
-        jnp.zeros(n_pad + 1, jnp.int32)
-        .at[s].add(1, mode="drop")
-        .at[e1].add(-1, mode="drop")
+    """Dtype restoration + relaxed blocked sweep as ONE compiled program.
+
+    Transfer diet for the dev relay (and any PCIe-attached host): read codes
+    ship as uint16 when ``block * max_span <= 2^16`` (sentinel -1 becomes
+    0xFFFF under the int32 -> uint16 cast, restored here), the target ships
+    at the narrowest dtype that holds ``max_coverage``, and the selection
+    ships back at that same width (``sel_per_end[e] <= max(target)``: the
+    sweep only takes against a deficit, so selected reads covering any
+    position never exceed the target there). The kernel itself always runs
+    int32."""
+    if packed.dtype == jnp.uint16:
+        p32 = packed.astype(jnp.int32)
+        p32 = jnp.where(p32 == 0xFFFF, jnp.int32(-1), p32)
+    else:
+        p32 = packed
+    tgt = target.astype(jnp.int32).reshape(n_windows, win)
+    sel, rounds = blocked_windowed_sweep(
+        p32, counts, tgt, n_windows, block, max_span, chunk, interpret,
+        static_chunks=static_chunks,
     )
-    target = jnp.minimum(
-        jnp.cumsum(diff)[:n_pad], jnp.int32(max_coverage)
-    ).reshape(n_windows, win)
-    return blocked_windowed_sweep(
-        packed, counts, target, n_windows, block, max_span, chunk, interpret
-    )
+    return sel.astype(out_dtype), rounds
+
+
+def _capped_target_host(
+    start: np.ndarray, end: np.ndarray, n_pad: int, max_coverage: int
+) -> np.ndarray:
+    """min(coverage, M) per base as int32[n_pad], computed host-side (C
+    threaded histogram, numpy fallback) — cheaper than shipping start/end
+    to the device just to scatter them."""
+    try:
+        import ctypes
+
+        from genome_downsampler_tpu.io.build import build_bamio
+
+        lib = ctypes.CDLL(str(build_bamio()))
+        lib.gd_capped_target.restype = ctypes.c_int64
+        lib.gd_capped_target.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        s = np.ascontiguousarray(start, np.int64)
+        e = np.ascontiguousarray(end, np.int64)
+        out = np.empty(n_pad, np.int32)
+        rc = lib.gd_capped_target(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            s.shape[0], n_pad, int(max_coverage),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return out
+    except OSError:
+        pass
+    d = np.bincount(start, minlength=n_pad + 1).astype(np.int64)
+    d[1:] -= np.bincount(end, minlength=n_pad + 1)[: n_pad]
+    return np.minimum(np.cumsum(d[:n_pad]), max_coverage).astype(np.int32)
+
+
+def _narrow_dtype(max_value: int) -> np.dtype:
+    if max_value <= np.iinfo(np.int8).max:
+        return np.dtype(np.int8)
+    if max_value <= np.iinfo(np.int16).max:
+        return np.dtype(np.int16)
+    return np.dtype(np.int32)
 
 
 class BlockedWindowedMcpSolver(Solver):
@@ -107,20 +155,34 @@ class BlockedWindowedMcpSolver(Solver):
             start, end, n, self.n_windows, self.block, self.max_span,
             cap_multiple=self.chunk,
         )
+        # counts ride SMEM (scalar prefetch); past ~512 KB switch to the
+        # counts-free kernel variant (same auto rule as parallel/blocked_mesh)
+        static_chunks = packed.shape[0] * self.n_windows * 4 > 512 * 1024
+
+        # transfer diet (see _blocked_pipeline): uint16 codes when the code
+        # space fits and 0xFFFF stays a free sentinel (the int32 -1 maps to
+        # exactly 0xFFFF under the cast)
+        if self.block * self.max_span <= 1 << 16 and (
+            packed.size == 0 or int(packed.max()) < 0xFFFF
+        ):
+            packed = packed.astype(np.uint16)
+
+        target32 = _capped_target_host(start, end, n_pad, int(max_coverage))
+        tmax = int(target32.max(initial=0))
+        small = _narrow_dtype(tmax)
 
         sel_per_end, _rounds = _blocked_pipeline(
             jnp.asarray(packed),
             jnp.asarray(counts),
-            jnp.asarray(start.astype(np.int32)),
-            jnp.asarray(end.astype(np.int32)),
+            jnp.asarray(target32.astype(small)),
             self.n_windows,
             self.block,
             self.max_span,
             self.chunk,
             self._interpret(),
-            n_pad,
             win,
-            int(max_coverage),
+            static_chunks=static_chunks,
+            out_dtype=str(small),
         )
-        sel_np = np.asarray(sel_per_end)[:n]
+        sel_np = np.asarray(sel_per_end)[:n].astype(np.int64)
         return reconstruct_selection(start, end, sel_np)

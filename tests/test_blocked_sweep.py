@@ -126,3 +126,81 @@ def test_blocked_solver_matches_host_oracle():
     ).solve(5, batch)
     oracle = GreedyMcpSolver().solve(5, batch)
     np.testing.assert_array_equal(sel, oracle)
+
+
+def test_transfer_diet_helpers():
+    """Host capped-target helper equals the device coverage op; the narrow
+    dtype picker is safe at its boundaries."""
+    import jax.numpy as jnp
+
+    from genome_downsampler_tpu.ops.coverage import (
+        capped_coverage,
+        coverage_from_intervals,
+    )
+    from genome_downsampler_tpu.solvers.blocked_sweep import (
+        _capped_target_host,
+        _narrow_dtype,
+    )
+
+    rng = np.random.default_rng(3)
+    n_pad = 4096
+    start = rng.integers(0, 3000, 5000)
+    end = start + rng.integers(0, 200, 5000)
+    host = _capped_target_host(start, end, n_pad, 7)
+    dev = capped_coverage(
+        coverage_from_intervals(
+            jnp.asarray(start.astype(np.int32)),
+            jnp.asarray(end.astype(np.int32)),
+            n_pad,
+        ),
+        7,
+    )
+    np.testing.assert_array_equal(host, np.asarray(dev))
+
+    assert _narrow_dtype(127) == np.int8
+    assert _narrow_dtype(128) == np.int16
+    assert _narrow_dtype(32767) == np.int16
+    assert _narrow_dtype(32768) == np.int32
+
+
+def test_uint16_code_path_bit_equal_to_int32():
+    """The uint16 packed-code transfer path (sentinel 0xFFFF) restores to
+    the identical selection as the int32 path, including max-code reads."""
+    from genome_downsampler_tpu.core.readbatch import ReadBatch
+    from genome_downsampler_tpu.solvers.blocked_sweep import (
+        BlockedWindowedMcpSolver,
+    )
+    from genome_downsampler_tpu.solvers.greedy_mcp import GreedyMcpSolver
+
+    rng = np.random.default_rng(9)
+    n, L = 2048, 64
+    r = 800
+    start = rng.integers(0, n - L, r)
+    span = rng.integers(1, L, r)  # spans up to L-1: code < B*L - 1
+    # force a read at the top of the code space (start_rel = B-1)
+    start[0] = 63
+    span[0] = L - 1
+    batch = ReadBatch(
+        bam_id=np.arange(r, dtype=np.int64),
+        start=start.astype(np.int64),
+        end=(start + span - 1).astype(np.int64),
+        quality=np.full(r, 50, np.int64),
+        seq_length=span.astype(np.int64),
+        is_first=np.tile([True, False], r // 2),
+        ref_genome_length=n,
+    )
+    # block*max_span = 64*64 = 4096 <= 2^16: the uint16 path engages
+    sel = BlockedWindowedMcpSolver(
+        n_windows=4, block=64, max_span=64, chunk=64
+    ).solve(3, batch)
+    # identity tie-breaks differ legitimately from the Python greedy under
+    # variable spans; the uint16/int8 transfer encodings must preserve the
+    # exact per-end counts of the global sweep and the optimal count
+    _, n_pad, _ = run_blocked(batch, n, 4, 64, 64, m=3, chunk=64)
+    ref_counts = global_reference(batch, n_pad, 3, 64)
+    ce = np.bincount(
+        np.asarray(batch.end)[np.asarray(sel)], minlength=n_pad
+    )
+    np.testing.assert_array_equal(ce, ref_counts)
+    oracle = GreedyMcpSolver().solve(3, batch)
+    assert len(sel) == len(oracle)
