@@ -256,10 +256,13 @@ def _blocked_kernel(
     )
 
     def body(i, carry):
-        avail_in, selend = carry
+        # `cur` (selected reads covering the position, (W, 1)) rides the
+        # carry instead of being re-reduced from selend each step: it only
+        # changes by the take total (min(deficit, avail total) — the takes
+        # fill top-down) and by the emitted column leaving the window.
+        avail_in, selend, cur = carry
         add = tile_s[:, pl.ds(i, 1), :].reshape(W, L).astype(jnp.int32)
         avail = avail_in + add
-        cur = jnp.sum(selend, axis=1, keepdims=True)  # (W, 1)
         tgt_row = tgt_s[pl.ds(i, 1), :]  # (1, W)
         tgt = jnp.sum(
             jnp.where(eye, jnp.broadcast_to(tgt_row, (W, W)), 0),
@@ -272,13 +275,15 @@ def _blocked_kernel(
             csum = _lane_cumsum(avail, L)
             total = csum[:, L - 1 : L]
             take = jnp.clip(deficit - (total - csum), 0, avail)
-            return avail - take, selend + take
+            taken = jnp.minimum(jnp.maximum(deficit, 0), total)
+            return avail - take, selend + take, cur + taken
 
-        avail2, selend2 = jax.lax.cond(
-            jnp.any(deficit > 0), with_take, lambda: (avail, selend)
+        avail2, selend2, cur2 = jax.lax.cond(
+            jnp.any(deficit > 0), with_take, lambda: (avail, selend, cur)
         )
+        em_col = selend2[:, 0:1]  # (W, 1)
         emitted = jnp.sum(
-            jnp.where(eye, jnp.broadcast_to(selend2[:, 0:1], (W, W)), 0),
+            jnp.where(eye, jnp.broadcast_to(em_col, (W, W)), 0),
             axis=0,
             keepdims=True,
         )  # (1, W)
@@ -286,10 +291,18 @@ def _blocked_kernel(
         return (
             pltpu.roll(avail2, L - 1, 1) * zero_last,
             pltpu.roll(selend2, L - 1, 1) * zero_last,
+            cur2 - em_col,
         )
 
-    avail_f, selend_f = jax.lax.fori_loop(
-        0, block, body, (avail_s[:], selend_s[:])
+    def body2(k, carry):
+        # two positions per trip: halves loop bookkeeping and gives Mosaic
+        # independent work (tile loads / stores) to overlap across the
+        # sequential dependency chain
+        return body(2 * k + 1, body(2 * k, carry))
+
+    cur0 = jnp.sum(selend_s[:], axis=1, keepdims=True)
+    avail_f, selend_f, _ = jax.lax.fori_loop(
+        0, block // 2, body2, (avail_s[:], selend_s[:], cur0)
     )
     avail_s[:] = avail_f
     selend_s[:] = selend_f
@@ -339,6 +352,7 @@ def blocked_sweep_pass(
     win = nbw * B
     assert target.shape == (W, win)
     assert cap % chunk == 0, (cap, chunk)
+    assert B % 2 == 0, B  # the sweep loop advances two positions per trip
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # counts: full array in SMEM, indexed [t, w]
