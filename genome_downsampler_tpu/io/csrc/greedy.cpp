@@ -270,41 +270,102 @@ int64_t gd_reconstruct(
         if (start[i] < 0 || end[i] < start[i] || end[i] >= n) return -1;
 
     Buffers& B = bufs();
-    // stable counting sort by start (index order kept within a position)
+    // Both counting sorts are range-partitioned across threads on the key
+    // (position) space, the gd_pack_blocked pattern: each thread scans all
+    // reads but counts/places only keys in its own range, so cursors and
+    // output slices never conflict and stability within a position is the
+    // scan order — identical to the sequential sort.
+    const int64_t T = 2;
     int32_t* counts = B.counts.get_zeroed(n + 1);
-    for (int64_t i = 0; i < R; ++i) counts[start[i]]++;
     int32_t* start_off = B.roff.get(n + 2);
+    int32_t* by_start = B.by_start.get(R);
+    {
+        std::vector<std::thread> pool;
+        for (int64_t k = 0; k < T; ++k)
+            pool.emplace_back([&, k] {
+                int64_t lo = n * k / T, hi = (k == T - 1) ? n + 1 : n * (k + 1) / T;
+                for (int64_t i = 0; i < R; ++i) {
+                    int64_t s = start[i];
+                    if (s >= lo && s < hi) counts[s]++;
+                }
+            });
+        for (auto& th : pool) th.join();
+    }
     start_off[0] = 0;
     for (int64_t j = 0; j <= n; ++j)
         start_off[j + 1] = start_off[j] + counts[j];
-    int32_t* by_start = B.by_start.get(R);
-    for (int64_t i = 0; i < R; ++i) {
-        int64_t s = start[i];
-        by_start[start_off[s] + (start_off[s + 1] - start_off[s] -
-                                 counts[s]--)] = (int32_t)i;
+    {
+        std::vector<std::thread> pool;
+        for (int64_t k = 0; k < T; ++k)
+            pool.emplace_back([&, k] {
+                int64_t lo = n * k / T, hi = (k == T - 1) ? n + 1 : n * (k + 1) / T;
+                for (int64_t i = 0; i < R; ++i) {
+                    int64_t s = start[i];
+                    if (s < lo || s >= hi) continue;
+                    by_start[start_off[s] + (start_off[s + 1] - start_off[s] -
+                                             counts[s]--)] = (int32_t)i;
+                }
+            });
+        for (auto& th : pool) th.join();
     }
     // stable counting re-sort by end -> (end, start, index) order
     int32_t* end_cnt = B.counts.get_zeroed(n + 1);
-    for (int64_t i = 0; i < R; ++i) end_cnt[end[i]]++;
     int32_t* end_off = B.roff2.get(n + 2);
+    int32_t* by_end = B.by_end.get(R);
+    {
+        std::vector<std::thread> pool;
+        for (int64_t k = 0; k < T; ++k)
+            pool.emplace_back([&, k] {
+                int64_t lo = n * k / T, hi = (k == T - 1) ? n + 1 : n * (k + 1) / T;
+                for (int64_t i = 0; i < R; ++i) {
+                    int64_t e = end[i];
+                    if (e >= lo && e < hi) end_cnt[e]++;
+                }
+            });
+        for (auto& th : pool) th.join();
+    }
     end_off[0] = 0;
     for (int64_t j = 0; j <= n; ++j) end_off[j + 1] = end_off[j] + end_cnt[j];
-    int32_t* by_end = B.by_end.get(R);
-    for (int64_t q = 0; q < R; ++q) {
-        int32_t i = by_start[q];
-        int64_t e = end[i];
-        by_end[end_off[e] + (end_off[e + 1] - end_off[e] - end_cnt[e]--)] = i;
+    {
+        std::vector<std::thread> pool;
+        for (int64_t k = 0; k < T; ++k)
+            pool.emplace_back([&, k] {
+                int64_t lo = n * k / T, hi = (k == T - 1) ? n + 1 : n * (k + 1) / T;
+                for (int64_t q = 0; q < R; ++q) {
+                    int32_t i = by_start[q];
+                    int64_t e = end[i];
+                    if (e < lo || e >= hi) continue;
+                    by_end[end_off[e] + (end_off[e + 1] - end_off[e] -
+                                         end_cnt[e]--)] = i;
+                }
+            });
+        for (auto& th : pool) th.join();
     }
-    int64_t total = 0;
-    for (int64_t e = 0; e < n; ++e) {
-        int64_t quota = sel_per_end[e];
-        if (quota < 0 || quota > end_off[e + 1] - end_off[e]) return -1;
-        for (int64_t q = end_off[e]; quota > 0; ++q, --quota) {
-            out_selected[by_end[q]] = 1;
-            total++;
-        }
+    std::atomic<int64_t> total{0};
+    std::atomic<bool> quota_ok{true};
+    {
+        std::vector<std::thread> pool;
+        for (int64_t k = 0; k < T; ++k)
+            pool.emplace_back([&, k] {
+                int64_t lo = n * k / T, hi = n * (k + 1) / T;
+                int64_t local = 0;
+                for (int64_t e = lo; e < hi; ++e) {
+                    int64_t quota = sel_per_end[e];
+                    if (quota < 0 || quota > end_off[e + 1] - end_off[e]) {
+                        quota_ok = false;
+                        return;
+                    }
+                    for (int64_t q = end_off[e]; quota > 0; ++q, --quota) {
+                        out_selected[by_end[q]] = 1;
+                        local++;
+                    }
+                }
+                total += local;
+            });
+        for (auto& th : pool) th.join();
     }
-    return total;
+    if (!quota_ok) return -1;
+    return total.load();
 }
 
 }  // extern "C"
