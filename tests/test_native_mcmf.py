@@ -86,3 +86,22 @@ def test_mcmf_empty():
 
     sel = NativeQmcpSolver().solve(5, ReadBatch.empty(100))
     assert len(sel) == 0
+
+
+def test_bench_chr1_qmcp_smoke():
+    """The chromosome-scale QMCP bench script runs exactly at a reduced
+    ladder size (reproducible Weyl reads, validity asserted in-script)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, "-u", str(repo / "scripts" / "bench_chr1.py"),
+         "--qmcp", "0.2", "30"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK exact weighted QMCP" in proc.stdout
