@@ -15,6 +15,15 @@ _SRCS = sorted(_CSRC.glob("*.cpp"))
 _SO = Path(__file__).parent / "_bamio.so"
 
 
+class NativeBuildError(OSError):
+    """Raised when the native library fails to compile.
+
+    Subclasses OSError so that every ``except OSError`` numpy-fallback site
+    (pack, reconstruction, capped target) engages both when the library is
+    absent (dlopen OSError) and when g++ itself fails.
+    """
+
+
 def build_bamio(force: bool = False) -> Path:
     # escape hatch for instrumented builds (scripts/run_asan.sh)
     override = os.environ.get("GD_BAMIO_SO")
@@ -29,5 +38,5 @@ def build_bamio(force: bool = False) -> Path:
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
-        raise RuntimeError(f"bamio build failed:\n{proc.stderr}")
+        raise NativeBuildError(f"bamio build failed:\n{proc.stderr}")
     return _SO

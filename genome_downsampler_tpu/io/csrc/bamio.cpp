@@ -73,6 +73,38 @@ struct BgzfReader {
         threads = std::max(1, nthreads);
         f = std::fopen(path, "rb");
         if (!f) { error = "cannot open input file"; return false; }
+        // Format sniff: the reference opens through htslib sam_open, which
+        // auto-detects SAM text / BAM / CRAM (bam_api.cpp:379). This reader
+        // supports BGZF BAM only, so name the format in the error instead of
+        // a generic "bad header" (VERDICT r3 gap #2 / next-step #8).
+        uint8_t magic[4] = {0, 0, 0, 0};
+        size_t got = std::fread(magic, 1, 4, f);
+        if (std::fseek(f, 0, SEEK_SET) != 0) {
+            error = "seek failed"; return false;
+        }
+        if (got == 4) {
+            if (std::memcmp(magic, "CRAM", 4) == 0) {
+                error = "input is CRAM; only BGZF BAM is supported "
+                        "(convert with `samtools view -b`)";
+                return false;
+            }
+            if (magic[0] == 0x1f && magic[1] == 0x8b && !(magic[3] & 4)) {
+                // gzip without FEXTRA cannot carry the BGZF BC subfield
+                error = "input is plain gzip, not BGZF; only BGZF BAM is "
+                        "supported (recompress with bgzip or "
+                        "`samtools view -b`)";
+                return false;
+            }
+            if (magic[0] == '@' || std::memcmp(magic, "BAM\1", 4) == 0) {
+                // '@': SAM header text. "BAM\1": raw uncompressed BAM.
+                error = magic[0] == '@'
+                            ? "input looks like SAM text; only BGZF BAM is "
+                              "supported (convert with `samtools view -b`)"
+                            : "input is uncompressed BAM; only BGZF BAM is "
+                              "supported (recompress with bgzip)";
+                return false;
+            }
+        }
         return true;
     }
     ~BgzfReader() { if (f) std::fclose(f); }

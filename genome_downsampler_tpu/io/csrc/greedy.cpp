@@ -60,6 +60,14 @@ Buffers& bufs() {
     return b;
 }
 
+// Worker count for the range-partitioned passes: every thread scans all R
+// reads, so parallelism only pays while cores are real — clamp to the
+// machine (gd_pack_blocked takes an explicit parameter for the same reason).
+int64_t default_threads() {
+    unsigned hc = std::thread::hardware_concurrency();
+    return std::max<int64_t>(1, std::min<int64_t>(hc ? hc : 2, 16));
+}
+
 }  // namespace
 
 extern "C" {
@@ -229,7 +237,7 @@ int64_t gd_capped_target(
     if (n_pad >= INT32_MAX) return -1;
     for (int64_t i = 0; i < R; ++i)
         if (start[i] < 0 || end[i] < start[i] || end[i] >= n_pad) return -1;
-    const int64_t T = 2;
+    const int64_t T = default_threads();
     std::vector<std::vector<int32_t>> part(T);
     std::vector<std::thread> pool;
     for (int64_t k = 0; k < T; ++k) {
@@ -247,7 +255,7 @@ int64_t gd_capped_target(
     int64_t run = 0;
     const int32_t cap = (int32_t)std::min<int64_t>(max_coverage, INT32_MAX);
     for (int64_t j = 0; j < n_pad; ++j) {
-        run += part[0][j] + part[1][j];
+        for (int64_t k = 0; k < T; ++k) run += part[k][j];
         out[j] = run < cap ? (int32_t)run : cap;
     }
     return 0;
@@ -275,7 +283,7 @@ int64_t gd_reconstruct(
     // reads but counts/places only keys in its own range, so cursors and
     // output slices never conflict and stability within a position is the
     // scan order — identical to the sequential sort.
-    const int64_t T = 2;
+    const int64_t T = default_threads();
     int32_t* counts = B.counts.get_zeroed(n + 1);
     int32_t* start_off = B.roff.get(n + 2);
     int32_t* by_start = B.by_start.get(R);

@@ -46,7 +46,7 @@ def _window_relax_solve(
     n_dev = jax.lax.axis_size(axis)
     right_perm = [(i, i + 1) for i in range(n_dev - 1)]
 
-    zeros = jax.lax.pvary(jnp.zeros(L, jnp.int32), (axis,))
+    zeros = jax.lax.pcast(jnp.zeros(L, jnp.int32), axis, to="varying")
 
     def sweep(a_in, s_in):
         return sweep_counts(rows_local, target_local, a_in, s_in, max_span)

@@ -148,6 +148,47 @@ def test_empty_file(tmp_path):
         read_bam(str(p), CONFIG)
 
 
+# The reference auto-detects SAM/BAM/CRAM via htslib (bam_api.cpp:379); this
+# reader is BAM-only, and the deviation contract is a format-NAMING error
+# for each sibling format (VERDICT r3 #8).
+
+
+def test_cram_magic_named(tmp_path):
+    p = tmp_path / "input.cram"
+    p.write_bytes(b"CRAM\x03\x00" + b"\x00" * 64)
+    with pytest.raises(IOError, match="CRAM"):
+        read_bam(str(p), CONFIG)
+
+
+def test_sam_text_named(tmp_path):
+    p = tmp_path / "input.sam"
+    p.write_bytes(
+        b"@HD\tVN:1.6\tSO:coordinate\n"
+        b"@SQ\tSN:ref\tLN:11\n"
+        b"r1\t99\tref\t1\t60\t4M\t=\t5\t8\tACGT\tFFFF\n"
+    )
+    with pytest.raises(IOError, match="SAM"):
+        read_bam(str(p), CONFIG)
+
+
+def test_plain_gzip_named(tmp_path):
+    p = tmp_path / "input.bam.gz"
+    # gzip member WITHOUT FEXTRA: cannot be BGZF
+    p.write_bytes(
+        b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+        + zlib.compress(b"BAM\x01" + b"\x00" * 32)[2:-4]
+    )
+    with pytest.raises(IOError, match="gzip"):
+        read_bam(str(p), CONFIG)
+
+
+def test_uncompressed_bam_named(tmp_path):
+    p = tmp_path / "raw.bam"
+    p.write_bytes(b"BAM\x01" + struct.pack("<i", 0) + b"\x00" * 16)
+    with pytest.raises(IOError, match="uncompressed"):
+        read_bam(str(p), CONFIG)
+
+
 # ------------------------------------------------------------ record level
 
 
