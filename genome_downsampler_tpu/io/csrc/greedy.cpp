@@ -385,13 +385,17 @@ int64_t gd_reconstruct(
 // Counting sort, O(R) — the numpy argsort path costs minutes at 10M+ reads
 // on this VM. Returns 0 on success; outputs are malloc'd (free with
 // gd_free_i64 / gd_free_i32).
+// out_slots (optional, pass NULL to skip): malloc'd int64[R] flat slot index
+// of each read within the packed array ((t * W + w) * cap + fill_rank) — the
+// inverse permutation the device-side reconstruction mask is addressed by.
 extern "C" int64_t gd_pack_blocked(
     const int64_t* start, const int64_t* end, int64_t R, int64_t n,
     int64_t W, int64_t B, int64_t L, int64_t cap_multiple, int64_t threads,
     int32_t** out_packed, int32_t** out_counts,
-    int64_t* out_win, int64_t* out_cap) {
+    int64_t* out_win, int64_t* out_cap, int64_t** out_slots) {
     *out_packed = nullptr;
     *out_counts = nullptr;
+    if (out_slots) *out_slots = nullptr;
     int64_t win = (n + W - 1) / W;
     win = (win + B - 1) / B * B;
     int64_t nbw = win / B;
@@ -414,8 +418,10 @@ extern "C" int64_t gd_pack_blocked(
                 int64_t r0 = R * k / T, r1 = R * (k + 1) / T;
                 for (int64_t r = r0; r < r1; ++r) {
                     int64_t span = end[r] - start[r] + 1;
+                    // span cap is L-1: the sweep kernel reserves code lane
+                    // L-1 for the injected per-position target
                     if (start[r] < 0 || start[r] >= W * win || span < 1 ||
-                        span > L) { ok = false; return; }
+                        span >= L) { ok = false; return; }
                     int64_t w = start[r] / win, t = (start[r] % win) / B;
                     c[t * W + w]++;
                 }
@@ -435,6 +441,12 @@ extern "C" int64_t gd_pack_blocked(
     int32_t* packed = static_cast<int32_t*>(
         std::malloc(sizeof(int32_t) * std::max<int64_t>(groups * cap, 1)));
     if (!packed) { std::free(counts); return -1; }
+    int64_t* slots = nullptr;
+    if (out_slots) {
+        slots = static_cast<int64_t*>(
+            std::malloc(sizeof(int64_t) * std::max<int64_t>(R, 1)));
+        if (!slots) { std::free(packed); std::free(counts); return -1; }
+    }
 
     // placement: partition the GENOME (t-ranges) across threads; each scans
     // every read but touches only its own packed slice — parallel first-touch
@@ -454,13 +466,15 @@ extern "C" int64_t gd_pack_blocked(
                     int64_t g = t * W + w;
                     int64_t start_rel = start[r] % B;
                     int64_t span = end[r] - start[r] + 1;
-                    packed[g * cap + fill[g - t0 * W]++] =
-                        (int32_t)(start_rel * L + (span - 1));
+                    int64_t s = g * cap + fill[g - t0 * W]++;
+                    packed[s] = (int32_t)(start_rel * L + (span - 1));
+                    if (slots) slots[r] = s;
                 }
             });
         }
         for (auto& th : pool) th.join();
     }
+    if (out_slots) *out_slots = slots;
     *out_packed = packed;
     *out_counts = counts;
     *out_win = win;

@@ -54,6 +54,7 @@ def pack_blocked(
     max_span: int,
     cap_multiple: int = 256,
     use_native: bool = True,
+    return_slots: bool = False,
 ):
     """Bucket reads into per-(block, window) padded code lists (host side).
 
@@ -62,6 +63,9 @@ def pack_blocked(
     ``packed[t, w, s]`` holds ``start_rel * L + (span - 1)`` for the s-th
     read whose start lies in block ``t`` of window ``w``; ``-1`` pads.
     (Lane axis = cap, a 128-multiple: the natural VMEM tiling.)
+
+    ``return_slots=True`` appends ``slots[R]`` — each read's flat index into
+    ``packed`` — used to address the device-computed selection bitmask.
     """
     W, B, L = n_windows, block, max_span
     win = -(-n // W)
@@ -72,12 +76,19 @@ def pack_blocked(
     start = np.asarray(start, np.int64)
     end = np.asarray(end, np.int64)
     span = end - start + 1
-    if span.size and int(span.max()) > L:
-        raise ValueError(f"read span {int(span.max())} exceeds max_span={L}")
+    # spans are capped at L-1: the kernel reserves code lane L-1 for the
+    # injected per-position target (see _blocked_kernel)
+    if span.size and int(span.max()) > L - 1:
+        raise ValueError(
+            f"read span {int(span.max())} exceeds max_span-1={L - 1} "
+            "(lane L-1 is the target lane); raise max_span"
+        )
 
     if use_native and start.size:
         try:
-            return _pack_blocked_native(start, end, n, W, B, L, cap_multiple)
+            return _pack_blocked_native(
+                start, end, n, W, B, L, cap_multiple, return_slots
+            )
         except OSError:  # native lib unavailable: numpy fallback below
             pass
 
@@ -103,10 +114,15 @@ def pack_blocked(
     w_s = g_sorted % W
     packed[t_s, w_s, rank] = code[order]
     counts = counts_flat.reshape(nbw, W)
+    if return_slots:
+        slots = np.empty(start.size, np.int64)
+        slots[order] = g_sorted * cap + rank
+        return packed, counts, win, n_pad, slots
     return packed, counts, win, n_pad
 
 
-def _pack_blocked_native(start, end, n, W, B, L, cap_multiple):
+def _pack_blocked_native(start, end, n, W, B, L, cap_multiple,
+                         return_slots=False):
     """C counting-sort packing (io/csrc/greedy.cpp gd_pack_blocked) — the
     numpy argsort path costs minutes at 10M+ reads on slow-fault VMs."""
     import ctypes
@@ -122,12 +138,15 @@ def _pack_blocked_native(start, end, n, W, B, L, cap_multiple):
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
     ]
     lib.gd_free_i32.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+    lib.gd_free_i64.argtypes = [ctypes.POINTER(ctypes.c_int64)]
     s = np.ascontiguousarray(start, np.int64)
     e = np.ascontiguousarray(end, np.int64)
     p_packed = ctypes.POINTER(ctypes.c_int32)()
     p_counts = ctypes.POINTER(ctypes.c_int32)()
+    p_slots = ctypes.POINTER(ctypes.c_int64)()
     win = ctypes.c_int64()
     cap = ctypes.c_int64()
     rc = lib.gd_pack_blocked(
@@ -136,6 +155,7 @@ def _pack_blocked_native(start, end, n, W, B, L, cap_multiple):
         s.shape[0], n, W, B, L, cap_multiple, 8,
         ctypes.byref(p_packed), ctypes.byref(p_counts),
         ctypes.byref(win), ctypes.byref(cap),
+        ctypes.byref(p_slots) if return_slots else None,
     )
     if rc != 0:
         raise ValueError("gd_pack_blocked: invalid reads (span/start bounds)")
@@ -145,14 +165,20 @@ def _pack_blocked_native(start, end, n, W, B, L, cap_multiple):
             p_packed, shape=(nbw, W, cap.value)
         ).copy()
         counts = np.ctypeslib.as_array(p_counts, shape=(nbw, W)).copy()
+        if return_slots:
+            slots = np.ctypeslib.as_array(p_slots, shape=(s.shape[0],)).copy()
     finally:
         lib.gd_free_i32(p_packed)
         lib.gd_free_i32(p_counts)
+        if return_slots:
+            lib.gd_free_i64(p_slots)
+    if return_slots:
+        return packed, counts, win.value, W * win.value, slots
     return packed, counts, win.value, W * win.value
 
 
 def _blocked_kernel(
-    counts_ref,   # int32[nbw * W] SMEM (scalar prefetch) — codes per
+    counts_ref,   # int32[nbw_total * W] SMEM (scalar prefetch) — codes per
                   #   (block, window), flattened 1-D (2-D SMEM pads the lane
                   #   axis to 128 and overflows SMEM at large nbw)
     packed_ref,   # int32[1, W, cap] VMEM — read codes
@@ -162,7 +188,7 @@ def _blocked_kernel(
     out_ref,      # int32[W, B]   VMEM — selected count per end position
     availf_ref,   # int32[W, L]   VMEM — carry-out
     selendf_ref,  # int32[W, L]   VMEM
-    tile_s,       # f32[W, B, L]  VMEM scratch — per-window histogram tile
+    tile_s,       # f32[B, W, L]  VMEM scratch — position-major histogram
     avail_s,      # int32[W, L]   VMEM scratch — state between grid steps
     selend_s,     # int32[W, L]   VMEM scratch
     tgt_s,        # int32[B, W]   VMEM scratch — block-transposed target
@@ -171,13 +197,15 @@ def _blocked_kernel(
     block: int,
     chunk: int,
     static_chunks: bool,
+    grid_offset: int = 0,
 ):
-    t = pl.program_id(0)
+    t_loc = pl.program_id(0)          # grid-local step
+    t = t_loc + grid_offset           # block-within-window index (counts key)
     nb = pl.num_programs(0)
-    W, B, L = tile_s.shape
+    B, W, L = tile_s.shape
     C = chunk
 
-    @pl.when(t == 0)
+    @pl.when(t_loc == 0)
     def _():
         avail_s[:] = avail0_ref[:]
         selend_s[:] = selend0_ref[:]
@@ -188,9 +216,11 @@ def _blocked_kernel(
     # into VMEM scratch here.
     tgt_s[:] = jnp.swapaxes(target_ref[:, :], 0, 1)
 
-    # --- build this block's (B, L) histogram tile per window (MXU) ---
-    # codes live on the lane axis; the two one-hots compare a broadcast
-    # (1, C) code row against sublane iotas, then contract over C
+    # --- build this block's histogram tile per window (MXU) ---
+    # Tile layout is POSITION-major (B, W, L): the per-step read is then a
+    # contiguous leading-axis slab instead of a strided middle-axis gather.
+    # Codes live on the lane axis; the two one-hots compare a broadcast
+    # (1, C) code row against sublane iotas, then contract over C.
     row_b = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
     row_l = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
     cap = packed_ref.shape[2]
@@ -218,18 +248,18 @@ def _blocked_kernel(
 
             if isinstance(j, int):  # static unroll: plain python branch
                 if j == 0:
-                    tile_s[w] = part
+                    tile_s[:, w, :] = part
                 else:
-                    tile_s[w] = tile_s[w] + part
+                    tile_s[:, w, :] = tile_s[:, w, :] + part
                 return 0
 
             @pl.when(j == 0)
             def _():
-                tile_s[w] = part
+                tile_s[:, w, :] = part
 
             @pl.when(j > 0)
             def _():
-                tile_s[w] = tile_s[w] + part
+                tile_s[:, w, :] = tile_s[:, w, :] + part
 
             return 0
 
@@ -239,21 +269,29 @@ def _blocked_kernel(
         else:
             @pl.when(nch == 0)
             def _(w=w):
-                tile_s[w] = jnp.zeros((B, L), jnp.float32)
+                tile_s[:, w, :] = jnp.zeros((B, L), jnp.float32)
 
             jax.lax.fori_loop(0, nch, chunk_body, 0)
+
+    # Inject the per-position target into tile lane L-1 (spans are capped at
+    # L-1, so that lane never holds read counts): the hot loop then gets the
+    # target as a STATIC lane slice of the slab it already reads, replacing
+    # a per-position (W, W) eye-masked transpose (O(W^2) per step).
+    tile_s[:, :, L - 1 : L] = tgt_s[:, :].astype(jnp.float32)[:, :, None]
 
     # --- the water-filling sweep over B positions, all W windows at once ---
     zero_last = (
         jax.lax.broadcasted_iota(jnp.int32, (W, L), 1) < L - 1
     ).astype(jnp.int32)
-    # (W, W) identity mask: Mosaic has no dynamic lane indexing, so the
-    # per-position target row (1, W) / emitted column (W, 1) are transposed
-    # with a diagonal-mask reduce (3 tiny VPU ops) instead
+    # (W, W) identity mask for the emitted-column transpose (out write)
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
     )
+    # At wide W the probability that NO window has a deficit at a given
+    # position vanishes, so the cond's scalar round-trip costs more than it
+    # saves — run the take-split unconditionally there.
+    branchless = W >= 16
 
     def body(i, carry):
         # `cur` (selected reads covering the position, (W, 1)) rides the
@@ -261,14 +299,9 @@ def _blocked_kernel(
         # changes by the take total (min(deficit, avail total) — the takes
         # fill top-down) and by the emitted column leaving the window.
         avail_in, selend, cur = carry
-        add = tile_s[:, pl.ds(i, 1), :].reshape(W, L).astype(jnp.int32)
-        avail = avail_in + add
-        tgt_row = tgt_s[pl.ds(i, 1), :]  # (1, W)
-        tgt = jnp.sum(
-            jnp.where(eye, jnp.broadcast_to(tgt_row, (W, W)), 0),
-            axis=1,
-            keepdims=True,
-        )  # (W, 1)
+        add = tile_s[pl.ds(i, 1)].reshape(W, L).astype(jnp.int32)
+        tgt = add[:, L - 1 : L]  # (W, 1) — injected target lane
+        avail = avail_in + add * zero_last
         deficit = tgt - cur
 
         def with_take():
@@ -278,9 +311,12 @@ def _blocked_kernel(
             taken = jnp.minimum(jnp.maximum(deficit, 0), total)
             return avail - take, selend + take, cur + taken
 
-        avail2, selend2, cur2 = jax.lax.cond(
-            jnp.any(deficit > 0), with_take, lambda: (avail, selend, cur)
-        )
+        if branchless:
+            avail2, selend2, cur2 = with_take()
+        else:
+            avail2, selend2, cur2 = jax.lax.cond(
+                jnp.any(deficit > 0), with_take, lambda: (avail, selend, cur)
+            )
         em_col = selend2[:, 0:1]  # (W, 1)
         emitted = jnp.sum(
             jnp.where(eye, jnp.broadcast_to(em_col, (W, W)), 0),
@@ -308,7 +344,7 @@ def _blocked_kernel(
     selend_s[:] = selend_f
     out_ref[:, :] = jnp.swapaxes(out_s[:, :], 0, 1)
 
-    @pl.when(t == nb - 1)
+    @pl.when(t_loc == nb - 1)
     def _():
         availf_ref[:] = avail_f
         selendf_ref[:] = selend_f
@@ -318,7 +354,7 @@ def _blocked_kernel(
     jax.jit,
     static_argnames=(
         "n_windows", "block", "max_span", "chunk", "interpret",
-        "static_chunks",
+        "static_chunks", "grid_offset",
     ),
 )
 def blocked_sweep_pass(
@@ -333,17 +369,26 @@ def blocked_sweep_pass(
     chunk: int = 256,
     interpret: bool = False,
     static_chunks: bool = False,
+    grid_offset: int = 0,
 ):
     """One relaxation round: sweep all W windows in parallel with the given
-    carry seeds. Returns ``(sel[W, win], availf[W, L], selendf[W, L])``.
+    carry seeds. Returns ``(sel[W, wlen], availf[W, L], selendf[W, L])``.
 
     ``static_chunks=True`` runs all ``cap // chunk`` code chunks for every
     (block, window) unconditionally (sentinels contribute nothing) and
     ignores ``counts`` — required when ``nbw * W`` counts would overflow
-    SMEM (chr1-scale grids), free when ``cap == chunk``."""
+    SMEM (chr1-scale grids), free when ``cap == chunk``.
+
+    ``grid_offset=k`` sweeps only the tail blocks ``k..nbw-1`` of every
+    window (zero-cold-started at block ``k``) and returns the tail-local
+    selection ``sel[W, (nbw-k)*B]`` plus the carry at the window end — the
+    cheap boundary-local pre-pass that seeds the relaxation loop (see
+    ``blocked_windowed_sweep``)."""
     W, B, L = n_windows, block, max_span
     nbw, Wp, cap = packed.shape
     assert Wp == W
+    assert 0 <= grid_offset < nbw
+    ngrid = nbw - grid_offset
     if static_chunks:
         counts_flat = jnp.zeros(1, jnp.int32)
     else:
@@ -354,14 +399,18 @@ def blocked_sweep_pass(
     assert cap % chunk == 0, (cap, chunk)
     assert B % 2 == 0, B  # the sweep loop advances two positions per trip
 
+    off = grid_offset
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # counts: full array in SMEM, indexed [t, w]
-        grid=(nbw,),
+        grid=(ngrid,),
         in_specs=[
             pl.BlockSpec(
-                (1, W, cap), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, W, cap), lambda t, c: (t + off, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((W, B), lambda t, c: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (W, B), lambda t, c: (0, t + off), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -371,7 +420,7 @@ def blocked_sweep_pass(
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, B, L), jnp.float32),
+            pltpu.VMEM((B, W, L), jnp.float32),
             pltpu.VMEM((W, L), jnp.int32),
             pltpu.VMEM((W, L), jnp.int32),
             pltpu.VMEM((B, W), jnp.int32),
@@ -381,11 +430,11 @@ def blocked_sweep_pass(
     out, availf, selendf = pl.pallas_call(
         functools.partial(
             _blocked_kernel, block=B, chunk=chunk,
-            static_chunks=static_chunks,
+            static_chunks=static_chunks, grid_offset=off,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((W, win), jnp.int32),
+            jax.ShapeDtypeStruct((W, ngrid * B), jnp.int32),
             jax.ShapeDtypeStruct((W, L), jnp.int32),
             jax.ShapeDtypeStruct((W, L), jnp.int32),
         ],
@@ -398,7 +447,7 @@ def blocked_sweep_pass(
     jax.jit,
     static_argnames=(
         "n_windows", "block", "max_span", "chunk", "interpret",
-        "static_chunks",
+        "static_chunks", "seed_blocks",
     ),
 )
 def blocked_windowed_sweep(
@@ -411,16 +460,30 @@ def blocked_windowed_sweep(
     chunk: int = 256,
     interpret: bool = False,
     static_chunks: bool = False,
+    seed_blocks: int = 8,
 ):
     """Exact global sweep via carry relaxation over the blocked kernel.
 
     Returns ``(sel_per_end[W * win], rounds_used)`` — bit-identical to the
-    global sequential ``sweep_counts`` at the fixed point (same argument as
-    ``parallel/windows.py``: window 0's seed is exact from round 0, so after
-    round k the first k+1 windows are exact; carries stabilize when every
-    window's seed equals its left neighbor's carry-out).
+    global sequential ``sweep_counts`` at the fixed point. Soundness does
+    not depend on how rounds are seeded: at any state where every window's
+    carry-in equals its left neighbor's carry-out (which is what the
+    stability check asserts), window 0 ran from the true genome-start state
+    (zeros), so by induction along the windows every carry — and therefore
+    the whole selection — equals the global sequential sweep's.
+
+    ``seed_blocks > 0`` prepends a cheap boundary-local pre-pass: sweep only
+    the last ``seed_blocks`` blocks of every window (cold-started), and use
+    those window-end carries as round-1 seeds. Any selected read crossing a
+    window boundary starts within ``L`` of it, so a few blocks of local
+    history predict the true carry almost exactly — zero-seeded relaxation
+    needs ~0.6 * W rounds (measured r3) because corrections crawl one window
+    per round, while seeded relaxation typically converges in 2-3 rounds
+    regardless of W, unlocking wider W (more parallel windows = fewer
+    sequential positions per pass).
     """
     W, L = n_windows, max_span
+    nbw = packed.shape[0]
 
     def passes(a_in, s_in):
         return blocked_sweep_pass(
@@ -434,12 +497,21 @@ def blocked_windowed_sweep(
         )
 
     zeros = jnp.zeros((W, L), jnp.int32)
-    sel, a_out, s_out = passes(zeros, zeros)
+    if seed_blocks > 0 and W > 1 and nbw > seed_blocks:
+        _, a_t, s_t = blocked_sweep_pass(
+            packed, counts, target, zeros, zeros,
+            n_windows, block, max_span, chunk, interpret, static_chunks,
+            grid_offset=nbw - seed_blocks,
+        )
+        a_seed, s_seed = shift(a_t), shift(s_t)
+    else:
+        a_seed, s_seed = zeros, zeros
+    sel, a_out, s_out = passes(a_seed, s_seed)
 
     def cond(state):
         k, a_in, s_in, sel, a_out, s_out = state
         stable = jnp.all(shift(a_out) == a_in) & jnp.all(shift(s_out) == s_in)
-        return (~stable) & (k < W)
+        return (~stable) & (k < W + 1)
 
     def body(state):
         k, _, _, _, a_out, s_out = state
@@ -448,6 +520,6 @@ def blocked_windowed_sweep(
         return (k + 1, a_in, s_in, sel, a_out2, s_out2)
 
     k, _, _, sel, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), zeros, zeros, sel, a_out, s_out)
+        cond, body, (jnp.int32(1), a_seed, s_seed, sel, a_out, s_out)
     )
     return sel.reshape(W * (target.shape[1])), k

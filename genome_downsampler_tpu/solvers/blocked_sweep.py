@@ -31,6 +31,91 @@ from genome_downsampler_tpu.solvers.device_sweep import (
 )
 
 
+def _selection_mask(p32, sel, n_windows, block, max_span, win):
+    """Device-side identity reconstruction: per end bucket, the first
+    ``sel[e]`` reads by (start, index) — identical rule to
+    ``device_sweep.reconstruct_selection`` — computed as a bitmask over
+    packed slots so the readback is ~R/8 bytes instead of ``n`` counts.
+
+    Order: two stable argsorts (LSD radix: by start, then by end) give
+    (end, start, slot) order; a slot tie-breaks identically to the original
+    read index because equal (start, end) reads share a pack group, where
+    slots are filled in index order. Rank-in-bucket = position minus the
+    bucket's first position (a running max over bucket heads).
+    """
+    W, B, L = n_windows, block, max_span
+    nbw, _, cap = p32.shape
+    S = nbw * W * cap
+    codes = p32.reshape(S)
+    imax = jnp.int32(2**31 - 1)
+    valid = codes >= 0
+    sidx = jnp.arange(S, dtype=jnp.int32)
+    t_idx = sidx // (W * cap)
+    w_idx = (sidx // cap) % W
+    start = w_idx * win + t_idx * B + codes // L
+    end = start + codes % L
+    start_key = jnp.where(valid, start, imax)
+    end_key = jnp.where(valid, end, imax)
+    o1 = jnp.argsort(start_key, stable=True)
+    o = o1[jnp.argsort(end_key[o1], stable=True)]
+    e_sorted = end_key[o]
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), e_sorted[1:] != e_sorted[:-1]]
+    )
+    first_idx = jax.lax.cummax(jnp.where(first, sidx, 0))
+    rank = sidx - first_idx
+    c = sel[jnp.clip(e_sorted, 0, sel.shape[0] - 1)].astype(jnp.int32)
+    take_sorted = (rank < c) & (e_sorted < imax)
+    n_selected = jnp.sum(take_sorted.astype(jnp.int32))
+    mask = jnp.zeros(S, bool).at[o].set(take_sorted)
+    bits = jnp.sum(
+        mask.reshape(S // 8, 8).astype(jnp.uint8)
+        << jnp.arange(8, dtype=jnp.uint8),
+        axis=1, dtype=jnp.uint8,
+    )
+    return bits, n_selected
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_windows", "block", "max_span", "chunk", "interpret",
+        "win", "static_chunks", "out_dtype",
+    ),
+)
+def _blocked_pipeline_mask(
+    packed: jax.Array,
+    counts: jax.Array,
+    target: jax.Array,
+    n_windows: int,
+    block: int,
+    max_span: int,
+    chunk: int,
+    interpret: bool,
+    win: int,
+    static_chunks: bool = False,
+    out_dtype: str = "int32",  # kept for signature parity; mask is uint8
+):
+    """Like ``_blocked_pipeline`` but reconstructs on device: returns
+    ``(mask_bits[S//8] uint8, n_selected, rounds)`` — the full solve plus
+    identity assignment in ONE dispatch, shipping back bits instead of
+    per-position counts (transfer diet stage 2)."""
+    if packed.dtype == jnp.uint16:
+        p32 = packed.astype(jnp.int32)
+        p32 = jnp.where(p32 == 0xFFFF, jnp.int32(-1), p32)
+    else:
+        p32 = packed
+    tgt = target.astype(jnp.int32).reshape(n_windows, win)
+    sel, rounds = blocked_windowed_sweep(
+        p32, counts, tgt, n_windows, block, max_span, chunk, interpret,
+        static_chunks=static_chunks,
+    )
+    bits, n_selected = _selection_mask(
+        p32, sel, n_windows, block, max_span, win
+    )
+    return bits, n_selected, rounds
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -119,23 +204,30 @@ def _narrow_dtype(max_value: int) -> np.dtype:
 
 
 class BlockedWindowedMcpSolver(Solver):
-    """Exact minimum-read-count solver, O(R) device memory, W-way parallel."""
+    """Exact minimum-read-count solver, O(R) device memory, W-way parallel.
+
+    ``device_reconstruct`` (default) runs the identity assignment on device
+    too and reads back a per-slot bitmask (~R/8 bytes) instead of ``n``
+    per-end counts — solve and reconstruction become ONE device dispatch.
+    """
 
     uses_quality_of_reads = False
 
     def __init__(
         self,
-        n_windows: int = 8,
-        block: int = 256,
+        n_windows: int | None = None,
+        block: int | None = None,
         max_span: int = DEFAULT_MAX_SPAN,
-        chunk: int = 256,
+        chunk: int | None = None,
         interpret: str | bool = "auto",
+        device_reconstruct: bool = True,
     ):
         self.n_windows = n_windows
         self.block = block
         self.max_span = max_span
         self.chunk = chunk
         self.interpret = interpret
+        self.device_reconstruct = device_reconstruct
 
     def _interpret(self) -> bool:
         if self.interpret == "auto":
@@ -144,6 +236,23 @@ class BlockedWindowedMcpSolver(Solver):
             return not tpu_available()
         return bool(self.interpret)
 
+    def _geometry(self, n: int, span_max: int):
+        """(W, B, L, chunk) for this genome. More windows = fewer sequential
+        positions per pass (relaxation rounds stay ~2, measured r4); W is
+        capped so each window keeps >= 8 blocks of genome, and B shrinks at
+        W=64 to keep the (B, W, L) f32 tile inside VMEM (16 MB)."""
+        L = self.max_span
+        if span_max >= L:  # lane L-1 is the target lane: need span <= L-2
+            L = -(-(span_max + 2) // 128) * 128
+        W = self.n_windows
+        if W is None:
+            W = 8
+            while W < 64 and n // (2 * W) >= 8 * 256:
+                W *= 2
+        B = self.block or (128 if W * 256 * L * 4 > 12 * 2**20 else 256)
+        chunk = self.chunk or (128 if B <= 128 else 256)
+        return W, B, L, chunk
+
     def solve(self, max_coverage: int, batch: ReadBatch) -> Solution:
         n = batch.ref_genome_length
         if batch.n_reads == 0:
@@ -151,18 +260,24 @@ class BlockedWindowedMcpSolver(Solver):
 
         start = np.asarray(batch.start, np.int64)
         end = np.asarray(batch.end, np.int64)
-        packed, counts, win, n_pad = pack_blocked(
-            start, end, n, self.n_windows, self.block, self.max_span,
-            cap_multiple=self.chunk,
+        span_max = int((end - start).max()) + 1 if len(start) else 1
+        W, B, L, chunk = self._geometry(n, span_max)
+        res = pack_blocked(
+            start, end, n, W, B, L,
+            cap_multiple=chunk, return_slots=self.device_reconstruct,
         )
+        if self.device_reconstruct:
+            packed, counts, win, n_pad, slots = res
+        else:
+            packed, counts, win, n_pad = res
         # counts ride SMEM (scalar prefetch); past ~512 KB switch to the
         # counts-free kernel variant (same auto rule as parallel/blocked_mesh)
-        static_chunks = packed.shape[0] * self.n_windows * 4 > 512 * 1024
+        static_chunks = packed.shape[0] * W * 4 > 512 * 1024
 
         # transfer diet (see _blocked_pipeline): uint16 codes when the code
         # space fits and 0xFFFF stays a free sentinel (the int32 -1 maps to
         # exactly 0xFFFF under the cast)
-        if self.block * self.max_span <= 1 << 16 and (
+        if B * L <= 1 << 16 and (
             packed.size == 0 or int(packed.max()) < 0xFFFF
         ):
             packed = packed.astype(np.uint16)
@@ -171,14 +286,37 @@ class BlockedWindowedMcpSolver(Solver):
         tmax = int(target32.max(initial=0))
         small = _narrow_dtype(tmax)
 
+        if self.device_reconstruct:
+            bits, n_selected, _rounds = _blocked_pipeline_mask(
+                jnp.asarray(packed),
+                jnp.asarray(counts),
+                jnp.asarray(target32.astype(small)),
+                W,
+                B,
+                L,
+                chunk,
+                self._interpret(),
+                win,
+                static_chunks=static_chunks,
+            )
+            bits_np = np.asarray(bits)
+            sel_mask = (bits_np[slots >> 3] >> (slots & 7)) & 1
+            out = np.flatnonzero(sel_mask).astype(np.int64)
+            if len(out) != int(n_selected):
+                raise RuntimeError(
+                    "device mask readback mismatch: "
+                    f"{len(out)} != {int(n_selected)}"
+                )
+            return out
+
         sel_per_end, _rounds = _blocked_pipeline(
             jnp.asarray(packed),
             jnp.asarray(counts),
             jnp.asarray(target32.astype(small)),
-            self.n_windows,
-            self.block,
-            self.max_span,
-            self.chunk,
+            W,
+            B,
+            L,
+            chunk,
             self._interpret(),
             win,
             static_chunks=static_chunks,

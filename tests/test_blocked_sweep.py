@@ -128,6 +128,44 @@ def test_blocked_solver_matches_host_oracle():
     np.testing.assert_array_equal(sel, oracle)
 
 
+@pytest.mark.parametrize("seed,m", [(0, 4), (5, 9)])
+def test_device_reconstruct_mask_equals_host_reconstruct(seed, m):
+    """The on-device bitmask reconstruction selects the exact same reads as
+    the host counting-sort path (same (end, start, index) bucket rule)."""
+    from genome_downsampler_tpu.solvers.blocked_sweep import (
+        BlockedWindowedMcpSolver,
+    )
+
+    rng = np.random.default_rng(seed)
+    batch = rand_reads_uniform(rng, 1500, 2500, 60)
+    kw = dict(n_windows=4, block=64, max_span=64, chunk=64)
+    sel_dev = BlockedWindowedMcpSolver(
+        device_reconstruct=True, **kw
+    ).solve(m, batch)
+    sel_host = BlockedWindowedMcpSolver(
+        device_reconstruct=False, **kw
+    ).solve(m, batch)
+    np.testing.assert_array_equal(sel_dev, sel_host)
+
+
+def test_pack_blocked_slots_roundtrip():
+    """slots[r] addresses read r's code in the packed array, on both the
+    native and numpy packers."""
+    rng = np.random.default_rng(4)
+    start = rng.integers(0, 900, 400)
+    span = rng.integers(5, 64, 400)
+    end = start + span - 1
+    for use_native in (True, False):
+        packed, counts, win, n_pad, slots = pack_blocked(
+            start, end, 1000, 4, 32, 64, 16,
+            use_native=use_native, return_slots=True,
+        )
+        codes = packed.reshape(-1)[slots]
+        np.testing.assert_array_equal(codes // 64, start % 32)
+        np.testing.assert_array_equal(codes % 64, span - 1)
+        assert len(np.unique(slots)) == 400
+
+
 def test_transfer_diet_helpers():
     """Host capped-target helper equals the device coverage op; the narrow
     dtype picker is safe at its boundaries."""
