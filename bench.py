@@ -306,7 +306,7 @@ def _roofline():
     zero = jnp.zeros((W, L), jnp.int32)
 
     def run():
-        sel, af, sf = blocked_sweep_pass(
+        sel, af, sf, _ = blocked_sweep_pass(
             pk, ct, tgt, zero, zero, n_windows=W, block=BLOCK, max_span=L,
         )
         return sel

@@ -182,15 +182,19 @@ def _blocked_kernel(
                   #   (block, window), flattened 1-D (2-D SMEM pads the lane
                   #   axis to 128 and overflows SMEM at large nbw)
     packed_ref,   # int32[1, W, cap] VMEM — read codes
-    target_ref,   # int32[W, B]   VMEM — capped coverage targets
+    target_ref,   # int32[W, B]   VMEM — capped coverage targets (dummy
+                  #   (W, B) zeros under auto_target)
     avail0_ref,   # int32[W, L]   VMEM — carry-in (relaxation round seed)
     selend0_ref,  # int32[W, L]   VMEM
+    avail0i_ref,  # int32[W, L]   VMEM — input-coverage ring carry-in
     out_ref,      # int32[W, B]   VMEM — selected count per end position
     availf_ref,   # int32[W, L]   VMEM — carry-out
     selendf_ref,  # int32[W, L]   VMEM
+    availfi_ref,  # int32[W, L]   VMEM — input-coverage ring carry-out
     tile_s,       # f32[B, W, L]  VMEM scratch — position-major histogram
     avail_s,      # int32[W, L]   VMEM scratch — state between grid steps
     selend_s,     # int32[W, L]   VMEM scratch
+    availi_s,     # int32[W, L]   VMEM scratch
     tgt_s,        # int32[B, W]   VMEM scratch — block-transposed target
     out_s,        # int32[B, W]   VMEM scratch — block-transposed output
     *,
@@ -198,6 +202,8 @@ def _blocked_kernel(
     chunk: int,
     static_chunks: bool,
     grid_offset: int = 0,
+    auto_target: bool = False,
+    max_coverage: int = 0,
 ):
     t_loc = pl.program_id(0)          # grid-local step
     t = t_loc + grid_offset           # block-within-window index (counts key)
@@ -209,18 +215,28 @@ def _blocked_kernel(
     def _():
         avail_s[:] = avail0_ref[:]
         selend_s[:] = selend0_ref[:]
+        availi_s[:] = avail0i_ref[:]
 
-    # per-position access needs positions on the SUBLANE axis, but keeping
-    # (win, W) arrays in HBM would pad the 8-lane minor dim to 128 (16x
-    # memory). So HBM stays (W, win) and each (W, B) block transposes once
-    # into VMEM scratch here.
-    tgt_s[:] = jnp.swapaxes(target_ref[:, :], 0, 1)
+    if not auto_target:
+        # per-position access needs positions on the SUBLANE axis, but
+        # keeping (win, W) arrays in HBM would pad the 8-lane minor dim to
+        # 128 (16x memory). So HBM stays (W, win) and each (W, B) block
+        # transposes once into VMEM scratch here.
+        tgt_s[:] = jnp.swapaxes(target_ref[:, :], 0, 1)
 
-    # --- build this block's histogram tile per window (MXU) ---
+    # --- build this block's SUFFIX histogram tile per window (MXU) ---
     # Tile layout is POSITION-major (B, W, L): the per-step read is then a
     # contiguous leading-axis slab instead of a strided middle-axis gather.
-    # Codes live on the lane axis; the two one-hots compare a broadcast
-    # (1, C) code row against sublane iotas, then contract over C.
+    # Codes live on the lane axis; the start one-hot compares a broadcast
+    # (1, C) code row against a sublane iota, then contracts over C.
+    #
+    # The span side uses >= instead of ==, so the tile directly holds
+    # SUFFIX-summed arrivals: tile[b, w, k] = # reads starting at b with
+    # span - 1 >= k. The sweep then never computes a prefix scan: its state
+    # is F[k] = sum_{k' >= k} avail[k'], arrivals add in suffix form for
+    # free, and the farthest-first take-split becomes O(1) elementwise ops
+    # (see the loop body). The r4 ablation measured the per-step
+    # Hillis-Steele scan this replaces at ~65-70% of total kernel time.
     row_b = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
     row_l = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
     cap = packed_ref.shape[2]
@@ -238,7 +254,7 @@ def _blocked_kernel(
             codes = packed_ref[0, w : w + 1, pl.ds(j * C, C)]  # (1, C) int32
             # sentinel -1: -1 // L == -1 matches no row
             a = (codes // L == row_b).astype(jnp.float32)  # (B, C)
-            bm = (codes % L == row_l).astype(jnp.float32)  # (L, C)
+            bm = (codes % L >= row_l).astype(jnp.float32)  # (L, C) suffix
             part = jax.lax.dot_general(
                 a,
                 bm,
@@ -273,11 +289,13 @@ def _blocked_kernel(
 
             jax.lax.fori_loop(0, nch, chunk_body, 0)
 
-    # Inject the per-position target into tile lane L-1 (spans are capped at
-    # L-1, so that lane never holds read counts): the hot loop then gets the
-    # target as a STATIC lane slice of the slab it already reads, replacing
-    # a per-position (W, W) eye-masked transpose (O(W^2) per step).
-    tile_s[:, :, L - 1 : L] = tgt_s[:, :].astype(jnp.float32)[:, :, None]
+    if not auto_target:
+        # Inject the per-position target into tile lane L-1 (spans are
+        # capped at L-1, so that lane never holds read counts): the hot loop
+        # then gets the target as a STATIC lane slice of the slab it already
+        # reads, replacing a per-position (W, W) eye-masked transpose
+        # (O(W^2) per step).
+        tile_s[:, :, L - 1 : L] = tgt_s[:, :].astype(jnp.float32)[:, :, None]
 
     # --- the water-filling sweep over B positions, all W windows at once ---
     zero_last = (
@@ -288,35 +306,40 @@ def _blocked_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
     )
-    # At wide W the probability that NO window has a deficit at a given
-    # position vanishes, so the cond's scalar round-trip costs more than it
-    # saves — run the take-split unconditionally there.
-    branchless = W >= 16
-
     def body(i, carry):
+        # Branchless take-split on the suffix state — no scan, no cond:
+        #   F[k]     = stock at end-slots >= k      (suffix sums of avail)
+        #   G[k]     = F[k+1] = stock strictly above k
+        #   avail    = F - G
+        #   take[k]  = clip(deficit - G[k], 0, avail[k])   farthest-first
+        #   taken    = min(max(deficit, 0), F[0])
+        #   F'       = F - min(taken, F)
+        # The last identity holds because a farthest-first take empties a
+        # suffix region: above the partial slot the whole stock is taken
+        # (suffix_take = F there), below it suffix_take = taken.
         # `cur` (selected reads covering the position, (W, 1)) rides the
-        # carry instead of being re-reduced from selend each step: it only
-        # changes by the take total (min(deficit, avail total) — the takes
-        # fill top-down) and by the emitted column leaving the window.
-        avail_in, selend, cur = carry
+        # carry; it changes by `taken` and by the emitted column.
+        F_in, Fi_in, selend, cur = carry
         add = tile_s[pl.ds(i, 1)].reshape(W, L).astype(jnp.int32)
-        tgt = add[:, L - 1 : L]  # (W, 1) — injected target lane
-        avail = avail_in + add * zero_last
-        deficit = tgt - cur
-
-        def with_take():
-            csum = _lane_cumsum(avail, L)
-            total = csum[:, L - 1 : L]
-            take = jnp.clip(deficit - (total - csum), 0, avail)
-            taken = jnp.minimum(jnp.maximum(deficit, 0), total)
-            return avail - take, selend + take, cur + taken
-
-        if branchless:
-            avail2, selend2, cur2 = with_take()
+        if auto_target:
+            # Fi is the same suffix ring WITHOUT takes, so Fi[0] is the
+            # input coverage at the current position — the capped target is
+            # derived in-register and no target array is built, shipped, or
+            # read at all.
+            F = F_in + add
+            Fi = Fi_in + add
+            tgt = jnp.minimum(Fi[:, 0:1], jnp.int32(max_coverage))
         else:
-            avail2, selend2, cur2 = jax.lax.cond(
-                jnp.any(deficit > 0), with_take, lambda: (avail, selend, cur)
-            )
+            F = F_in + add * zero_last
+            Fi = Fi_in
+            tgt = add[:, L - 1 : L]  # (W, 1) — injected target lane
+        G = pltpu.roll(F, L - 1, 1) * zero_last
+        avail = F - G
+        deficit = tgt - cur
+        take = jnp.clip(deficit - G, 0, avail)
+        taken = jnp.minimum(jnp.maximum(deficit, 0), F[:, 0:1])
+        F2 = F - jnp.minimum(taken, F)
+        selend2 = selend + take
         em_col = selend2[:, 0:1]  # (W, 1)
         emitted = jnp.sum(
             jnp.where(eye, jnp.broadcast_to(em_col, (W, W)), 0),
@@ -325,9 +348,10 @@ def _blocked_kernel(
         )  # (1, W)
         out_s[pl.ds(i, 1), :] = emitted
         return (
-            pltpu.roll(avail2, L - 1, 1) * zero_last,
+            pltpu.roll(F2, L - 1, 1) * zero_last,
+            pltpu.roll(Fi, L - 1, 1) * zero_last if auto_target else Fi,
             pltpu.roll(selend2, L - 1, 1) * zero_last,
-            cur2 - em_col,
+            cur + taken - em_col,
         )
 
     def body2(k, carry):
@@ -336,31 +360,41 @@ def _blocked_kernel(
         # sequential dependency chain
         return body(2 * k + 1, body(2 * k, carry))
 
+    # carry interface stays avail-shaped (seeds, mesh halos, tests are all
+    # expressed in avail space); convert to/from suffix form once per pass
     cur0 = jnp.sum(selend_s[:], axis=1, keepdims=True)
-    avail_f, selend_f, _ = jax.lax.fori_loop(
-        0, block // 2, body2, (avail_s[:], selend_s[:], cur0)
+    pref0 = _lane_cumsum(avail_s[:], L)
+    F0 = pref0[:, L - 1 : L] - pref0 + avail_s[:]
+    prefi = _lane_cumsum(availi_s[:], L)
+    Fi0 = prefi[:, L - 1 : L] - prefi + availi_s[:]
+    F_f, Fi_f, selend_f, _ = jax.lax.fori_loop(
+        0, block // 2, body2, (F0, Fi0, selend_s[:], cur0)
     )
+    avail_f = F_f - pltpu.roll(F_f, L - 1, 1) * zero_last
+    availi_f = Fi_f - pltpu.roll(Fi_f, L - 1, 1) * zero_last
     avail_s[:] = avail_f
     selend_s[:] = selend_f
+    availi_s[:] = availi_f
     out_ref[:, :] = jnp.swapaxes(out_s[:, :], 0, 1)
 
     @pl.when(t_loc == nb - 1)
     def _():
         availf_ref[:] = avail_f
         selendf_ref[:] = selend_f
+        availfi_ref[:] = availi_f
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_windows", "block", "max_span", "chunk", "interpret",
-        "static_chunks", "grid_offset",
+        "static_chunks", "grid_offset", "auto_target", "max_coverage",
     ),
 )
 def blocked_sweep_pass(
     packed: jax.Array,   # int32[nbw, W, cap]
     counts: jax.Array,   # int32[nbw, W]
-    target: jax.Array,   # int32[W, win]
+    target: jax.Array | None,  # int32[W, win]; None under auto_target
     avail0: jax.Array,   # int32[W, L]
     selend0: jax.Array,  # int32[W, L]
     n_windows: int,
@@ -370,9 +404,18 @@ def blocked_sweep_pass(
     interpret: bool = False,
     static_chunks: bool = False,
     grid_offset: int = 0,
+    avail0i: jax.Array | None = None,  # int32[W, L] coverage-ring carry
+    auto_target: bool = False,
+    max_coverage: int = 0,
 ):
     """One relaxation round: sweep all W windows in parallel with the given
-    carry seeds. Returns ``(sel[W, wlen], availf[W, L], selendf[W, L])``.
+    carry seeds. Returns
+    ``(sel[W, wlen], availf[W, L], selendf[W, L], availfi[W, L])``.
+
+    ``auto_target=True`` derives the capped target ``min(coverage,
+    max_coverage)`` inside the kernel from an untaken copy of the arrival
+    ring (carried in ``avail0i``/``availfi``), so no target array exists on
+    host or device.
 
     ``static_chunks=True`` runs all ``cap // chunk`` code chunks for every
     (block, window) unconditionally (sentinels contribute nothing) and
@@ -395,7 +438,16 @@ def blocked_sweep_pass(
         assert counts.shape == (nbw, W)
         counts_flat = counts.reshape(nbw * W)
     win = nbw * B
-    assert target.shape == (W, win)
+    if auto_target:
+        assert target is None
+        target = jnp.zeros((W, B), jnp.int32)
+        tgt_map = lambda t, c: (0, 0)  # noqa: E731 — dummy, never read
+    else:
+        assert target is not None and target.shape == (W, win)
+        off_ = grid_offset
+        tgt_map = lambda t, c: (0, t + off_)  # noqa: E731
+    if avail0i is None:
+        avail0i = jnp.zeros((W, L), jnp.int32)
     assert cap % chunk == 0, (cap, chunk)
     assert B % 2 == 0, B  # the sweep loop advances two positions per trip
 
@@ -408,9 +460,8 @@ def blocked_sweep_pass(
                 (1, W, cap), lambda t, c: (t + off, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (W, B), lambda t, c: (0, t + off), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((W, B), tgt_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -418,42 +469,46 @@ def blocked_sweep_pass(
             pl.BlockSpec((W, B), lambda t, c: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, W, L), jnp.float32),
+            pltpu.VMEM((W, L), jnp.int32),
             pltpu.VMEM((W, L), jnp.int32),
             pltpu.VMEM((W, L), jnp.int32),
             pltpu.VMEM((B, W), jnp.int32),
             pltpu.VMEM((B, W), jnp.int32),
         ],
     )
-    out, availf, selendf = pl.pallas_call(
+    out, availf, selendf, availfi = pl.pallas_call(
         functools.partial(
             _blocked_kernel, block=B, chunk=chunk,
             static_chunks=static_chunks, grid_offset=off,
+            auto_target=auto_target, max_coverage=max_coverage,
         ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((W, ngrid * B), jnp.int32),
             jax.ShapeDtypeStruct((W, L), jnp.int32),
             jax.ShapeDtypeStruct((W, L), jnp.int32),
+            jax.ShapeDtypeStruct((W, L), jnp.int32),
         ],
         interpret=interpret,
-    )(counts_flat, packed, target, avail0, selend0)
-    return out, availf, selendf
+    )(counts_flat, packed, target, avail0, selend0, avail0i)
+    return out, availf, selendf, availfi
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_windows", "block", "max_span", "chunk", "interpret",
-        "static_chunks", "seed_blocks",
+        "static_chunks", "seed_blocks", "auto_target", "max_coverage",
     ),
 )
 def blocked_windowed_sweep(
     packed: jax.Array,
     counts: jax.Array,
-    target: jax.Array,  # int32[W, win]
+    target: jax.Array | None,  # int32[W, win]; None under auto_target
     n_windows: int,
     block: int,
     max_span: int,
@@ -461,6 +516,8 @@ def blocked_windowed_sweep(
     interpret: bool = False,
     static_chunks: bool = False,
     seed_blocks: int = 8,
+    auto_target: bool = False,
+    max_coverage: int = 0,
 ):
     """Exact global sweep via carry relaxation over the blocked kernel.
 
@@ -484,11 +541,14 @@ def blocked_windowed_sweep(
     """
     W, L = n_windows, max_span
     nbw = packed.shape[0]
+    win = nbw * block
 
-    def passes(a_in, s_in):
+    def passes(a_in, s_in, ai_in, grid_offset=0):
         return blocked_sweep_pass(
             packed, counts, target, a_in, s_in,
             n_windows, block, max_span, chunk, interpret, static_chunks,
+            grid_offset=grid_offset, avail0i=ai_in,
+            auto_target=auto_target, max_coverage=max_coverage,
         )
 
     def shift(c_out):
@@ -498,28 +558,31 @@ def blocked_windowed_sweep(
 
     zeros = jnp.zeros((W, L), jnp.int32)
     if seed_blocks > 0 and W > 1 and nbw > seed_blocks:
-        _, a_t, s_t = blocked_sweep_pass(
-            packed, counts, target, zeros, zeros,
-            n_windows, block, max_span, chunk, interpret, static_chunks,
-            grid_offset=nbw - seed_blocks,
+        _, a_t, s_t, ai_t = passes(
+            zeros, zeros, zeros, grid_offset=nbw - seed_blocks
         )
-        a_seed, s_seed = shift(a_t), shift(s_t)
+        a_seed, s_seed, ai_seed = shift(a_t), shift(s_t), shift(ai_t)
     else:
-        a_seed, s_seed = zeros, zeros
-    sel, a_out, s_out = passes(a_seed, s_seed)
+        a_seed, s_seed, ai_seed = zeros, zeros, zeros
+    sel, a_out, s_out, ai_out = passes(a_seed, s_seed, ai_seed)
 
     def cond(state):
-        k, a_in, s_in, sel, a_out, s_out = state
-        stable = jnp.all(shift(a_out) == a_in) & jnp.all(shift(s_out) == s_in)
+        k, a_in, s_in, ai_in, sel, a_out, s_out, ai_out = state
+        stable = (
+            jnp.all(shift(a_out) == a_in)
+            & jnp.all(shift(s_out) == s_in)
+            & jnp.all(shift(ai_out) == ai_in)
+        )
         return (~stable) & (k < W + 1)
 
     def body(state):
-        k, _, _, _, a_out, s_out = state
-        a_in, s_in = shift(a_out), shift(s_out)
-        sel, a_out2, s_out2 = passes(a_in, s_in)
-        return (k + 1, a_in, s_in, sel, a_out2, s_out2)
+        k, _, _, _, _, a_out, s_out, ai_out = state
+        a_in, s_in, ai_in = shift(a_out), shift(s_out), shift(ai_out)
+        sel, a_out2, s_out2, ai_out2 = passes(a_in, s_in, ai_in)
+        return (k + 1, a_in, s_in, ai_in, sel, a_out2, s_out2, ai_out2)
 
-    k, _, _, sel, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), a_seed, s_seed, sel, a_out, s_out)
+    k, _, _, _, sel, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(1), a_seed, s_seed, ai_seed, sel, a_out, s_out, ai_out),
     )
-    return sel.reshape(W * (target.shape[1])), k
+    return sel.reshape(W * win), k

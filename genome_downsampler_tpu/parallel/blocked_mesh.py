@@ -56,11 +56,12 @@ def _blocked_relax_local(
     right_perm = [(i, i + 1) for i in range(n_dev - 1)]
 
     def passes(a_in, s_in):
-        return blocked_sweep_pass(
+        sel, a_out, s_out, _ = blocked_sweep_pass(
             packed_local, counts_local, target_local, a_in, s_in,
             n_windows_local, block, max_span, chunk, interpret,
             static_chunks=static_chunks,
         )
+        return sel, a_out, s_out
 
     def shift(c_out):
         # global chain shift: window w takes w-1's carry; window 0 of this

@@ -29,6 +29,34 @@ from genome_downsampler_tpu.solvers.device_sweep import (
     DEFAULT_MAX_SPAN,
     reconstruct_selection,
 )
+from genome_downsampler_tpu.utils.logging import get_logger
+
+_log = get_logger("solvers.blocked_sweep")
+
+
+class _Phase:
+    """Wall-clock phase tracing for the blocked solve (stderr at DEBUG, or
+    always when GD_TRACE_PHASES is set) — the bench post-mortems depend on
+    knowing where a multi-second e2e went on the relay-attached dev TPU."""
+
+    def __init__(self):
+        import os
+        import time
+
+        self.force = bool(os.environ.get("GD_TRACE_PHASES"))
+        self.t = time.perf_counter()
+        self.clock = time.perf_counter
+
+    def lap(self, what: str):
+        now = self.clock()
+        dt = now - self.t
+        self.t = now
+        if self.force:
+            import sys
+
+            print(f"[blocked {what}] {dt:.2f}s", file=sys.stderr, flush=True)
+        else:
+            _log.debug("phase %s: %.2fs", what, dt)
 
 
 def _selection_mask(p32, sel, n_windows, block, max_span, win):
@@ -80,13 +108,13 @@ def _selection_mask(p32, sel, n_windows, block, max_span, win):
     jax.jit,
     static_argnames=(
         "n_windows", "block", "max_span", "chunk", "interpret",
-        "win", "static_chunks", "out_dtype",
+        "win", "static_chunks", "out_dtype", "max_coverage",
     ),
 )
 def _blocked_pipeline_mask(
     packed: jax.Array,
     counts: jax.Array,
-    target: jax.Array,
+    target: jax.Array | None,
     n_windows: int,
     block: int,
     max_span: int,
@@ -95,20 +123,25 @@ def _blocked_pipeline_mask(
     win: int,
     static_chunks: bool = False,
     out_dtype: str = "int32",  # kept for signature parity; mask is uint8
+    max_coverage: int = 0,
 ):
     """Like ``_blocked_pipeline`` but reconstructs on device: returns
     ``(mask_bits[S//8] uint8, n_selected, rounds)`` — the full solve plus
     identity assignment in ONE dispatch, shipping back bits instead of
-    per-position counts (transfer diet stage 2)."""
+    per-position counts (transfer diet stage 2). ``target=None`` derives
+    the capped target in-kernel from ``max_coverage`` (no target array
+    is built, shipped, or stored at all)."""
     if packed.dtype == jnp.uint16:
         p32 = packed.astype(jnp.int32)
         p32 = jnp.where(p32 == 0xFFFF, jnp.int32(-1), p32)
     else:
         p32 = packed
-    tgt = target.astype(jnp.int32).reshape(n_windows, win)
+    auto = target is None
+    tgt = None if auto else target.astype(jnp.int32).reshape(n_windows, win)
     sel, rounds = blocked_windowed_sweep(
         p32, counts, tgt, n_windows, block, max_span, chunk, interpret,
         static_chunks=static_chunks,
+        auto_target=auto, max_coverage=max_coverage,
     )
     bits, n_selected = _selection_mask(
         p32, sel, n_windows, block, max_span, win
@@ -120,13 +153,13 @@ def _blocked_pipeline_mask(
     jax.jit,
     static_argnames=(
         "n_windows", "block", "max_span", "chunk", "interpret",
-        "win", "static_chunks", "out_dtype",
+        "win", "static_chunks", "out_dtype", "max_coverage",
     ),
 )
 def _blocked_pipeline(
     packed: jax.Array,   # int32 | uint16 [nbw, W, cap] (u16 sentinel 0xFFFF)
     counts: jax.Array,   # int32[nbw, W]
-    target: jax.Array,   # int8 | int16 | int32 [W * win] capped target
+    target: jax.Array | None,  # int8/16/32 [W * win]; None = in-kernel
     n_windows: int,
     block: int,
     max_span: int,
@@ -135,6 +168,7 @@ def _blocked_pipeline(
     win: int,
     static_chunks: bool = False,
     out_dtype: str = "int32",
+    max_coverage: int = 0,
 ):
     """Dtype restoration + relaxed blocked sweep as ONE compiled program.
 
@@ -151,10 +185,12 @@ def _blocked_pipeline(
         p32 = jnp.where(p32 == 0xFFFF, jnp.int32(-1), p32)
     else:
         p32 = packed
-    tgt = target.astype(jnp.int32).reshape(n_windows, win)
+    auto = target is None
+    tgt = None if auto else target.astype(jnp.int32).reshape(n_windows, win)
     sel, rounds = blocked_windowed_sweep(
         p32, counts, tgt, n_windows, block, max_span, chunk, interpret,
         static_chunks=static_chunks,
+        auto_target=auto, max_coverage=max_coverage,
     )
     return sel.astype(out_dtype), rounds
 
@@ -258,6 +294,7 @@ class BlockedWindowedMcpSolver(Solver):
         if batch.n_reads == 0:
             return np.zeros(0, np.int64)
 
+        ph = _Phase()
         start = np.asarray(batch.start, np.int64)
         end = np.asarray(batch.end, np.int64)
         span_max = int((end - start).max()) + 1 if len(start) else 1
@@ -270,6 +307,7 @@ class BlockedWindowedMcpSolver(Solver):
             packed, counts, win, n_pad, slots = res
         else:
             packed, counts, win, n_pad = res
+        ph.lap("pack")
         # counts ride SMEM (scalar prefetch); past ~512 KB switch to the
         # counts-free kernel variant (same auto rule as parallel/blocked_mesh)
         static_chunks = packed.shape[0] * W * 4 > 512 * 1024
@@ -282,15 +320,16 @@ class BlockedWindowedMcpSolver(Solver):
         ):
             packed = packed.astype(np.uint16)
 
-        target32 = _capped_target_host(start, end, n_pad, int(max_coverage))
-        tmax = int(target32.max(initial=0))
-        small = _narrow_dtype(tmax)
+        small = _narrow_dtype(int(max_coverage))
 
         if self.device_reconstruct:
+            # target derived in-kernel (auto_target): nothing to compute or
+            # ship — the r3 path built an n-length capped-coverage array on
+            # the host and transferred it every solve
             bits, n_selected, _rounds = _blocked_pipeline_mask(
                 jnp.asarray(packed),
                 jnp.asarray(counts),
-                jnp.asarray(target32.astype(small)),
+                None,
                 W,
                 B,
                 L,
@@ -298,10 +337,14 @@ class BlockedWindowedMcpSolver(Solver):
                 self._interpret(),
                 win,
                 static_chunks=static_chunks,
+                max_coverage=int(max_coverage),
             )
+            ph.lap("device dispatch")
             bits_np = np.asarray(bits)
+            ph.lap("bits readback")
             sel_mask = (bits_np[slots >> 3] >> (slots & 7)) & 1
             out = np.flatnonzero(sel_mask).astype(np.int64)
+            ph.lap("bit test")
             if len(out) != int(n_selected):
                 raise RuntimeError(
                     "device mask readback mismatch: "
@@ -312,7 +355,7 @@ class BlockedWindowedMcpSolver(Solver):
         sel_per_end, _rounds = _blocked_pipeline(
             jnp.asarray(packed),
             jnp.asarray(counts),
-            jnp.asarray(target32.astype(small)),
+            None,
             W,
             B,
             L,
@@ -321,6 +364,7 @@ class BlockedWindowedMcpSolver(Solver):
             win,
             static_chunks=static_chunks,
             out_dtype=str(small),
+            max_coverage=int(max_coverage),
         )
         sel_np = np.asarray(sel_per_end)[:n].astype(np.int64)
         return reconstruct_selection(start, end, sel_np)

@@ -90,7 +90,7 @@ def run(scale: str, n_windows: int = 8, block: int = 256, L: int = 256):
 
     zeros = jnp.zeros((n_windows, L), jnp.int32)
     t0 = time.perf_counter()
-    sel1, a1, s1 = blocked_sweep_pass(
+    sel1, a1, s1, _ = blocked_sweep_pass(
         packed_d, counts_d, target, zeros, zeros, n_windows, block, L
     )
     sel1.block_until_ready()
@@ -100,7 +100,7 @@ def run(scale: str, n_windows: int = 8, block: int = 256, L: int = 256):
         pd = nonce_packed()
         int(jnp.sum(pd[0, 0, :1]))  # settle the perturbed input
         t0 = time.perf_counter()
-        _, a1, s1 = blocked_sweep_pass(
+        _, a1, s1, _ = blocked_sweep_pass(
             pd, counts_d, target, zeros, zeros, n_windows, block, L
         )
         int(jnp.sum(a1))  # force completion via scalar readback

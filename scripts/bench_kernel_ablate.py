@@ -1,16 +1,14 @@
 """Per-step cost attribution for the blocked sweep kernel (real TPU).
 
-Runs timing-only ablation variants of ``_blocked_kernel`` with pieces
-removed, so the ~600 ns/position-step measured in r3 can be attributed to
-its components (tile build MXU work, per-step rolls, eye-masked transposes,
-the cond-gated take path, loop scaffolding) instead of guessed at.
+Runs timing-only ablation variants of the CURRENT production kernel body
+(position-major tile, target lane, branchless take) with pieces removed, to
+attribute the measured ns/position-step. All variants except `full` produce
+WRONG results — they exist only to subtract wall-clock.
 
-All variants except `full` produce WRONG selections — they exist only to
-subtract wall-clock. Usage:
-  timeout 900 python -u scripts/bench_kernel_ablate.py [reads_M] [W]
+Usage:
+  timeout 900 python -u scripts/bench_kernel_ablate.py [reads_M] [W[:B]] ...
 """
 
-import functools
 import os
 import sys
 import time
@@ -27,10 +25,11 @@ from genome_downsampler_tpu.ops.pallas_sweep import _lane_cumsum
 from genome_downsampler_tpu.ops.pallas_blocked import pack_blocked
 from genome_downsampler_tpu.solvers.blocked_sweep import _capped_target_host
 
+MODES = ("full", "notake", "noroll", "noemit", "addonly", "tileonly",
+         "emptyloop")
 
-def make_kernel(block, chunk, static_chunks, mode):
-    """mode: full | notake | noroll | noeye | addonly | tileonly"""
 
+def make_kernel(block, chunk, mode):
     def kernel(
         counts_ref, packed_ref, target_ref, avail0_ref, selend0_ref,
         out_ref, availf_ref, selendf_ref,
@@ -38,7 +37,7 @@ def make_kernel(block, chunk, static_chunks, mode):
     ):
         t = pl.program_id(0)
         nb = pl.num_programs(0)
-        W, B, L = tile_s.shape
+        B, W, L = tile_s.shape
         C = chunk
 
         @pl.when(t == 0)
@@ -52,9 +51,7 @@ def make_kernel(block, chunk, static_chunks, mode):
         row_l = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
         cap = packed_ref.shape[2]
         for w in range(W):
-            nch = cap // C
-
-            def chunk_body(j, _, w=w):
+            for j in range(cap // C):
                 codes = packed_ref[0, w : w + 1, pl.ds(j * C, C)]
                 a = (codes // L == row_b).astype(jnp.float32)
                 bm = (codes % L == row_l).astype(jnp.float32)
@@ -63,16 +60,11 @@ def make_kernel(block, chunk, static_chunks, mode):
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                if isinstance(j, int):
-                    if j == 0:
-                        tile_s[w] = part
-                    else:
-                        tile_s[w] = tile_s[w] + part
-                    return 0
-                return 0
-
-            for j in range(nch):
-                chunk_body(j, 0)
+                if j == 0:
+                    tile_s[:, w, :] = part
+                else:
+                    tile_s[:, w, :] = tile_s[:, w, :] + part
+        tile_s[:, :, L - 1 : L] = tgt_s[:, :].astype(jnp.float32)[:, :, None]
 
         if mode == "tileonly":
             out_ref[:, :] = jnp.swapaxes(out_s[:, :], 0, 1)
@@ -92,36 +84,27 @@ def make_kernel(block, chunk, static_chunks, mode):
 
         def body(i, carry):
             avail_in, selend, cur = carry
-            add = tile_s[:, pl.ds(i, 1), :].reshape(W, L).astype(jnp.int32)
-            avail = avail_in + add
+            if mode == "emptyloop":
+                return avail_in, selend, cur + 1
+            add = tile_s[pl.ds(i, 1)].reshape(W, L).astype(jnp.int32)
+            tgt = add[:, L - 1 : L]
+            avail = avail_in + add * zero_last
             if mode == "addonly":
                 return avail, selend, cur
-            if mode == "noeye":
-                tgt = cur * 0 + 7  # fake target, no transpose
-            else:
-                tgt_row = tgt_s[pl.ds(i, 1), :]
-                tgt = jnp.sum(
-                    jnp.where(eye, jnp.broadcast_to(tgt_row, (W, W)), 0),
-                    axis=1, keepdims=True,
-                )
             deficit = tgt - cur
-
-            def with_take():
-                csum = _lane_cumsum(avail, L)
-                total = csum[:, L - 1 : L]
-                take = jnp.clip(deficit - (total - csum), 0, avail)
-                taken = jnp.minimum(jnp.maximum(deficit, 0), total)
-                return avail - take, selend + take, cur + taken
 
             if mode == "notake":
                 avail2, selend2, cur2 = avail, selend, cur
             else:
-                avail2, selend2, cur2 = jax.lax.cond(
-                    jnp.any(deficit > 0), with_take,
-                    lambda: (avail, selend, cur),
+                csum = _lane_cumsum(avail, L)
+                total = csum[:, L - 1 : L]
+                take = jnp.clip(deficit - (total - csum), 0, avail)
+                taken = jnp.minimum(jnp.maximum(deficit, 0), total)
+                avail2, selend2, cur2 = (
+                    avail - take, selend + take, cur + taken
                 )
             em_col = selend2[:, 0:1]
-            if mode != "noeye":
+            if mode != "noemit":
                 emitted = jnp.sum(
                     jnp.where(eye, jnp.broadcast_to(em_col, (W, W)), 0),
                     axis=0, keepdims=True,
@@ -172,7 +155,7 @@ def run_mode(mode, packed_d, counts_flat, target_d, W, B, L, cap, chunk, nbw):
             pl.BlockSpec((W, L), lambda t, c: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, B, L), jnp.float32),
+            pltpu.VMEM((B, W, L), jnp.float32),
             pltpu.VMEM((W, L), jnp.int32),
             pltpu.VMEM((W, L), jnp.int32),
             pltpu.VMEM((B, W), jnp.int32),
@@ -184,7 +167,7 @@ def run_mode(mode, packed_d, counts_flat, target_d, W, B, L, cap, chunk, nbw):
     @jax.jit
     def fn(pd):
         out, af, sf = pl.pallas_call(
-            make_kernel(B, chunk, True, mode),
+            make_kernel(B, chunk, mode),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((W, win), jnp.int32),
@@ -212,42 +195,49 @@ def run_mode(mode, packed_d, counts_flat, target_d, W, B, L, cap, chunk, nbw):
 
 
 def main():
-    reads_m = float(sys.argv[1]) if len(sys.argv) > 1 else 25.0
-    W = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    reads_m = float(sys.argv[1]) if len(sys.argv) > 1 else 6.0
+    combos = []
+    for a in sys.argv[2:]:
+        w, _, b = a.partition(":")
+        combos.append((int(w), int(b) if b else 256))
+    combos = combos or [(64, 128)]
     n_reads = int(reads_m * 1e6)
     n = int(n_reads * 2.5)
-    m, read_len, B, L, chunk = 30, 150, 256, 256, 256
+    m, read_len, L = 30, 150, 256
 
     rng = np.random.default_rng(7)
     start = rng.integers(0, n - read_len, n_reads, dtype=np.int64)
     start.sort(kind="stable")
     end = start + read_len - 1
-    print(f"{n_reads} reads / {n/1e6:.1f} Mb / W={W}", flush=True)
+    print(f"{n_reads} reads / {n/1e6:.1f} Mb", flush=True)
 
-    packed, counts, win, n_pad = pack_blocked(start, end, n, W, B, L)
-    nbw, _, cap = packed.shape
-    print(f"pack: cap={cap} nbw={nbw} packed={packed.nbytes/1e6:.0f}MB",
-          flush=True)
-    target32 = _capped_target_host(start, end, n_pad, m)
+    for W, B in combos:
+        chunk = 128 if B <= 128 else 256
+        packed, counts, win, n_pad = pack_blocked(
+            start, end, n, W, B, L, cap_multiple=chunk
+        )
+        nbw, _, cap = packed.shape
+        print(f"W={W} B={B}: cap={cap} nbw={nbw} "
+              f"packed={packed.nbytes/1e6:.0f}MB", flush=True)
+        target32 = _capped_target_host(start, end, n_pad, m)
 
-    assert B * L <= 1 << 16 and int(packed.max()) < 0xFFFF
-    packed_u16 = jnp.asarray(packed.astype(np.uint16))
-    counts_flat = jnp.zeros(1, jnp.int32)
-    target_i8 = jnp.asarray(target32.astype(np.int8))
+        packed_u16 = jnp.asarray(packed.astype(np.uint16))
+        counts_flat = jnp.zeros(1, jnp.int32)
+        target_i8 = jnp.asarray(target32.astype(np.int8))
 
-    @jax.jit
-    def widen(pu16, ti8):
-        p32 = pu16.astype(jnp.int32)
-        p32 = jnp.where(p32 == 0xFFFF, jnp.int32(-1), p32)
-        return p32, ti8.astype(jnp.int32).reshape(W, win)
+        @jax.jit
+        def widen(pu16, ti8):
+            p32 = pu16.astype(jnp.int32)
+            p32 = jnp.where(p32 == 0xFFFF, jnp.int32(-1), p32)
+            return p32, ti8.astype(jnp.int32).reshape(W, win)
 
-    packed_d, target_d = widen(packed_u16, target_i8)
-    packed_d.block_until_ready()
-    print("uploaded", flush=True)
+        packed_d, target_d = widen(packed_u16, target_i8)
+        packed_d.block_until_ready()
+        print("uploaded", flush=True)
 
-    for mode in ("full", "notake", "noroll", "noeye", "addonly", "tileonly"):
-        run_mode(mode, packed_d, counts_flat, target_d, W, B, L, cap, chunk,
-                 nbw)
+        for mode in MODES:
+            run_mode(mode, packed_d, counts_flat, target_d, W, B, L, cap,
+                     chunk, nbw)
 
 
 if __name__ == "__main__":

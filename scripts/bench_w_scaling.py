@@ -117,7 +117,7 @@ def main():
         zeros = jnp.zeros((W, L), jnp.int32)
 
         def one_pass(pd):
-            _, a1, s1 = blocked_sweep_pass(
+            _, a1, s1, _ = blocked_sweep_pass(
                 pd, counts_d, target_d, zeros, zeros, W, B, L, chunk=capm,
                 static_chunks=static_chunks,
             )
