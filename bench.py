@@ -77,7 +77,9 @@ def _orchestrate() -> None:
     import subprocess
 
     last_fail = _fail_json("all bench attempts stalled (dev relay)")
-    attempts = [([], 560), ([], 560), (["--cpu"], 400)]
+    # first-run XLA compiles of the W=64 pipelines take minutes through the
+    # relay compile helper (cached persistently per program afterwards)
+    attempts = [([], 1100), ([], 900), (["--cpu"], 400)]
     for extra, budget in attempts:
         try:
             proc = subprocess.run(
@@ -172,14 +174,22 @@ def _headline(use_device: bool) -> dict:
     gen_s = time.perf_counter() - t0
     _trace(f"headline: generated {HEAD_READS} reads in {gen_s:.1f}s")
 
+    # host baseline: cold AND warm runs (the dev VM's page-fault state
+    # swings the same C++ run 2-6x; the ratio is taken against the WARM
+    # minimum — the conservative bar)
+    host = NativeGreedyMcpSolver()
     t0 = time.perf_counter()
-    host_sel = NativeGreedyMcpSolver().solve(HEAD_M, batch)
+    host_sel = host.solve(HEAD_M, batch)
+    t_host_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    host_sel = host.solve(HEAD_M, batch)
     t_host = time.perf_counter() - t0
-    _trace(f"headline: host greedy {t_host:.1f}s")
+    _trace(f"headline: host greedy cold {t_host_cold:.1f}s warm {t_host:.1f}s")
 
     out = {
         "scale": f"{HEAD_READS/1e6:.0f}M reads / {HEAD_GENOME/1e6:.1f} Mb / "
                  f"M={HEAD_M} (60x -> {HEAD_M}x)",
+        "host_cpp_greedy_cold_s": round(t_host_cold, 2),
         "host_cpp_greedy_s": round(t_host, 2),
         "selected": int(len(host_sel)),
         "gen_s": round(gen_s, 2),
@@ -195,16 +205,37 @@ def _headline(use_device: bool) -> dict:
     out["device_warmup_incl_compile_s"] = round(time.perf_counter() - t0, 2)
     _trace(f"headline: device warmup {out['device_warmup_incl_compile_s']}s")
 
+    # two timed device runs (the second on nonce'd data so the relay
+    # memoization cannot fake it); the PAIRED batch-1 run carries the ratio
     t0 = time.perf_counter()
     dev_sel = solver.solve(HEAD_M, batch)
     t_dev = time.perf_counter() - t0
     _trace(f"headline: device timed run {t_dev:.1f}s")
     assert len(dev_sel) == len(host_sel), (len(dev_sel), len(host_sel))
+    batch2 = _weyl_batch(HEAD_READS, HEAD_GENOME, (nonce + 104729) & 0x3FFFFFFF)
+    t0 = time.perf_counter()
+    dev_sel2 = solver.solve(HEAD_M, batch2)
+    t_dev2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    host_sel2 = host.solve(HEAD_M, batch2)
+    t_host2 = time.perf_counter() - t0
+    assert len(dev_sel2) == len(host_sel2)
+    _trace(f"headline: rep2 device {t_dev2:.1f}s host {t_host2:.1f}s")
     out["device_e2e_s"] = round(t_dev, 2)
     out["device_vs_host"] = round(t_host / t_dev, 3)
+    out["rep2_device_e2e_s"] = round(t_dev2, 2)
+    out["rep2_host_warm_s"] = round(t_host2, 2)
+    out["rep2_device_vs_host"] = round(t_host2 / t_dev2, 3)
+    stats = getattr(solver, "last_stats", None)
+    if stats:
+        # VERDICT r3 #7: solver iteration throughput (relaxation rounds)
+        out["relaxation_rounds"] = stats["rounds"]
+        out["n_windows"] = stats["n_windows"]
+        out["rounds_per_s"] = round(stats["rounds"] / t_dev2, 3)
     out["note"] = (
         "device window includes host-side packing, H2D transfer, fused "
-        "target+sweep jit, D2H readback, and C identity reconstruction"
+        "in-kernel-target sweep + on-device reconstruction jit, bitmask "
+        "readback, and the C bit test; ratio vs the WARM host minimum"
     )
     return out
 
@@ -270,6 +301,69 @@ def _config1_bam_detail(use_device: bool) -> dict:
     return out
 
 
+# config-4: E. coli scale BAM -> BAM (the "missing middle" between the
+# I/O-bound config-1 detail and the synthetic headline — VERDICT r3 #4)
+C4_READS = 10_000_000
+C4_GENOME = 5_000_000
+C4_M = 50
+
+
+def _config4_bam_detail(use_device: bool) -> dict:
+    from genome_downsampler_tpu.config import BamApiConfig
+    from genome_downsampler_tpu.core.readbatch import ReadBatch
+    from genome_downsampler_tpu.solvers.device_sweep import McpDeviceSweepSolver
+    from genome_downsampler_tpu.solvers.native_greedy import NativeGreedyMcpSolver
+    from genome_downsampler_tpu.testing.bam_writer import write_test_bam_fast
+
+    cache_dir = os.path.join(os.path.dirname(__file__), ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    bam_in = os.path.join(cache_dir, f"config4_{C4_READS}_{C4_GENOME}.bam")
+    out = {}
+    if not os.path.exists(bam_in):
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(SEED)
+        starts = rng.integers(0, C4_GENOME - READ_LEN, C4_READS,
+                              dtype=np.int64)
+        batch = ReadBatch(
+            bam_id=np.arange(C4_READS, dtype=np.int64),
+            start=starts,
+            end=starts + READ_LEN - 1,
+            quality=np.full(C4_READS, 60, np.int32),
+            seq_length=np.full(C4_READS, READ_LEN, np.int32),
+            is_first=np.tile([True, False], C4_READS // 2),
+            ref_genome_length=C4_GENOME,
+        )
+        write_test_bam_fast(bam_in, batch)
+        out["bam_synth_s"] = round(time.perf_counter() - t0, 1)
+        del batch
+    config = BamApiConfig(min_mapq=0, min_seq_length=0)
+
+    host_total, host_phases = _bam_to_bam(
+        bam_in, "/tmp/gd_bench_c4_host.bam",
+        NativeGreedyMcpSolver(), C4_M, config,
+    )
+    out.update(
+        scale=f"{C4_READS/1e6:.0f}M reads / {C4_GENOME/1e6:.0f} Mb / "
+              f"M={C4_M} (BAM -> BAM)",
+        host_bam_to_bam_s=round(host_total, 3),
+        host_phases=host_phases,
+        host_reads_per_s=round(C4_READS / host_total),
+    )
+    if use_device:
+        dev_solver = McpDeviceSweepSolver()
+        dev_total, dev_phases = _bam_to_bam(
+            bam_in, "/tmp/gd_bench_c4_dev.bam", dev_solver, C4_M, config,
+        )
+        assert dev_phases["selected"] == host_phases["selected"]
+        out["device_bam_to_bam_s"] = round(dev_total, 3)
+        out["device_phases"] = dev_phases
+        out["device_reads_per_s"] = round(C4_READS / dev_total)
+        stats = getattr(dev_solver, "last_stats", None)
+        if stats:
+            out["relaxation_rounds"] = stats["rounds"]
+    return out
+
+
 def _roofline():
     """Sweep-kernel roofline. The blocked sweep is a LATENCY-CHAIN
     workload: each genome position updates a (W, L) running window state
@@ -320,7 +414,9 @@ def _roofline():
     steps = win  # positions per window; W windows advance in parallel
     ns_per_step = dt / steps * 1e9
     hbm_bytes = packed.nbytes + counts.nbytes + target.nbytes + n_pad * 4
-    chain_ops, op_latency_cyc, clock_ghz = 14, 5, 0.94
+    # suffix-state body: ~9 chained wide ops per position (add, roll, sub,
+    # clip x2, min x2, roll x2) — the r4 kernel removed the 8-stage scan
+    chain_ops, op_latency_cyc, clock_ghz = 9, 5, 0.94
     floor_ns = chain_ops * op_latency_cyc / clock_ghz
     return {
         "pass_s": round(dt, 4),
@@ -336,7 +432,7 @@ def _roofline():
 
 
 def main() -> None:
-    _install_watchdog(500)
+    _install_watchdog(1050)
     cpu_mode = "--cpu" in sys.argv
     if cpu_mode:
         import jax
@@ -368,6 +464,8 @@ def main() -> None:
     }
 
     # optional enrichment (watchdog publishes the headline if these stall)
+    _trace("config4 BAM->BAM detail")
+    RESULT["detail"]["config4_bam_to_bam"] = _config4_bam_detail(on_tpu)
     _trace("config1 BAM->BAM detail")
     RESULT["detail"]["config1_bam_to_bam"] = _config1_bam_detail(on_tpu)
     if on_tpu:

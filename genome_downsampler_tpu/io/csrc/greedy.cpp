@@ -385,9 +385,27 @@ int64_t gd_reconstruct(
 // Counting sort, O(R) — the numpy argsort path costs minutes at 10M+ reads
 // on this VM. Returns 0 on success; outputs are malloc'd (free with
 // gd_free_i64 / gd_free_i32).
-// out_slots (optional, pass NULL to skip): malloc'd int64[R] flat slot index
-// of each read within the packed array ((t * W + w) * cap + fill_rank) — the
+namespace {
+// pack arenas: packed/rid/slots reuse across calls — on virtualized hosts
+// first-touch page population of a fresh 100+ MB malloc costs more than
+// the packing itself (measured 1-2 s/call at 6M reads)
+struct PackArenas {
+    Arena<int32_t> packed, counts, rid;
+    Arena<uint16_t> packed16;
+    Arena<int64_t> slots;
+    Arena<uint8_t> selmask;
+};
+PackArenas& pack_bufs() {
+    static PackArenas p;
+    return p;
+}
+}  // namespace
+
+// out_slots (optional, pass NULL to skip): int64[R] flat slot index of each
+// read within the packed array ((t * W + w) * cap + fill_rank) — the
 // inverse permutation the device-side reconstruction mask is addressed by.
+// All outputs are arena-owned: valid until the next gd_pack_blocked call,
+// NOT free'd by the caller.
 extern "C" int64_t gd_pack_blocked(
     const int64_t* start, const int64_t* end, int64_t R, int64_t n,
     int64_t W, int64_t B, int64_t L, int64_t cap_multiple, int64_t threads,
@@ -402,9 +420,8 @@ extern "C" int64_t gd_pack_blocked(
     int64_t groups = nbw * W;
     int64_t T = std::max<int64_t>(1, std::min<int64_t>(threads, 32));
 
-    int32_t* counts =
-        static_cast<int32_t*>(std::calloc(std::max<int64_t>(groups, 1), 4));
-    if (!counts) return -1;
+    PackArenas& P = pack_bufs();
+    int32_t* counts = P.counts.get_zeroed(std::max<int64_t>(groups, 1));
     std::atomic<bool> ok{true};
     {
         // per-thread count arrays, merged after — the count pass is
@@ -428,7 +445,7 @@ extern "C" int64_t gd_pack_blocked(
             });
         }
         for (auto& th : pool) th.join();
-        if (!ok) { std::free(counts); return -1; }
+        if (!ok) return -1;
         for (int64_t k = 0; k < T; ++k)
             for (int64_t g = 0; g < groups; ++g) counts[g] += part[k][g];
     }
@@ -438,19 +455,18 @@ extern "C" int64_t gd_pack_blocked(
                                     (maxc + cap_multiple - 1) / cap_multiple *
                                         cap_multiple);
 
-    int32_t* packed = static_cast<int32_t*>(
-        std::malloc(sizeof(int32_t) * std::max<int64_t>(groups * cap, 1)));
-    if (!packed) { std::free(counts); return -1; }
-    int64_t* slots = nullptr;
-    if (out_slots) {
-        slots = static_cast<int64_t*>(
-            std::malloc(sizeof(int64_t) * std::max<int64_t>(R, 1)));
-        if (!slots) { std::free(packed); std::free(counts); return -1; }
-    }
+    int32_t* packed = P.packed.get(std::max<int64_t>(groups * cap, 1));
+    int64_t* slots =
+        out_slots ? P.slots.get(std::max<int64_t>(R, 1)) : nullptr;
+    int32_t* rid_all = P.rid.get(std::max<int64_t>(groups * cap, 1));
 
     // placement: partition the GENOME (t-ranges) across threads; each scans
     // every read but touches only its own packed slice — parallel first-touch
-    // page population plus better write locality on slow-fault VMs
+    // page population plus better write locality on slow-fault VMs.
+    // Each group is then stable-sorted by code: equal-code (same (start,
+    // end)) reads stay in original index order — the tie-break contract the
+    // reconstruction mask depends on — while code-sorted groups let the
+    // device compute intra-cell ranks per contiguous run.
     {
         std::vector<std::thread> pool;
         for (int64_t k = 0; k < T; ++k) {
@@ -460,15 +476,39 @@ extern "C" int64_t gd_pack_blocked(
                 std::memset(packed + t0 * W * cap, 0xFF,
                             sizeof(int32_t) * (t1 - t0) * W * cap);
                 std::vector<int32_t> fill((t1 - t0) * W, 0);
+                int32_t* rid = rid_all + t0 * W * cap;
                 for (int64_t r = 0; r < R; ++r) {
                     int64_t w = start[r] / win, t = (start[r] % win) / B;
                     if (t < t0 || t >= t1) continue;
                     int64_t g = t * W + w;
                     int64_t start_rel = start[r] % B;
                     int64_t span = end[r] - start[r] + 1;
-                    int64_t s = g * cap + fill[g - t0 * W]++;
-                    packed[s] = (int32_t)(start_rel * L + (span - 1));
-                    if (slots) slots[r] = s;
+                    int64_t gl = g - t0 * W;
+                    int64_t f = fill[gl]++;
+                    packed[g * cap + f] = (int32_t)(start_rel * L + (span - 1));
+                    rid[gl * cap + f] = (int32_t)r;
+                }
+                std::vector<int32_t> perm(cap), tmp(cap);
+                for (int64_t gl = 0; gl < (t1 - t0) * W; ++gl) {
+                    int32_t cnt = fill[gl];
+                    if (cnt <= 1) {
+                        if (slots && cnt == 1)
+                            slots[rid[gl * cap]] = (t0 * W + gl) * cap;
+                        continue;
+                    }
+                    int32_t* pc = packed + (t0 * W + gl) * cap;
+                    int32_t* pr = rid + gl * cap;
+                    for (int32_t i = 0; i < cnt; ++i) perm[i] = i;
+                    std::stable_sort(perm.begin(), perm.begin() + cnt,
+                                     [&](int32_t x, int32_t y) {
+                                         return pc[x] < pc[y];
+                                     });
+                    std::copy(pc, pc + cnt, tmp.begin());
+                    for (int32_t i = 0; i < cnt; ++i) {
+                        pc[i] = tmp[perm[i]];
+                        if (slots)
+                            slots[pr[perm[i]]] = (t0 * W + gl) * cap + i;
+                    }
                 }
             });
         }
@@ -480,6 +520,46 @@ extern "C" int64_t gd_pack_blocked(
     *out_win = win;
     *out_cap = cap;
     return 0;
+}
+
+// Narrow arena-held packed codes to uint16 (sentinel -1 -> 0xFFFF); valid
+// when B * L <= 2^16. Arena-owned output (overwritten by the next call).
+extern "C" int64_t gd_pack_to_u16(
+    const int32_t* packed, int64_t count, uint16_t** out) {
+    uint16_t* p16 = pack_bufs().packed16.get(std::max<int64_t>(count, 1));
+    const int64_t T = default_threads();
+    std::vector<std::thread> pool;
+    for (int64_t k = 0; k < T; ++k)
+        pool.emplace_back([&, k] {
+            int64_t lo = count * k / T, hi = count * (k + 1) / T;
+            for (int64_t i = lo; i < hi; ++i)
+                p16[i] = (uint16_t)packed[i];  // -1 wraps to 0xFFFF
+        });
+    for (auto& th : pool) th.join();
+    *out = p16;
+    return 0;
+}
+
+// Selection extraction from the device bitmask: out01[r] = bit slots[r] of
+// `bits`. Threaded by read range; returns the selected count.
+extern "C" int64_t gd_mask_select(
+    const uint8_t* bits, const int64_t* slots, int64_t R, uint8_t* out01) {
+    const int64_t T = default_threads();
+    std::atomic<int64_t> total{0};
+    std::vector<std::thread> pool;
+    for (int64_t k = 0; k < T; ++k)
+        pool.emplace_back([&, k] {
+            int64_t lo = R * k / T, hi = R * (k + 1) / T;
+            int64_t local = 0;
+            for (int64_t r = lo; r < hi; ++r) {
+                uint8_t b = (bits[slots[r] >> 3] >> (slots[r] & 7)) & 1;
+                out01[r] = b;
+                local += b;
+            }
+            total += local;
+        });
+    for (auto& th : pool) th.join();
+    return total.load();
 }
 
 extern "C" void gd_free_i32(int32_t* p) { std::free(p); }

@@ -98,7 +98,9 @@ def pack_blocked(
     code = (start_rel * L + (span - 1)).astype(np.int32)
 
     group = t_id * W + w_id  # group key in (t, w) order
-    order = np.argsort(group, kind="stable")
+    # groups are code-sorted (stable by index) — the order contract of the
+    # device reconstruction mask; see gd_pack_blocked
+    order = np.argsort(group.astype(np.int64) * (B * L) + code, kind="stable")
     g_sorted = group[order]
     counts_flat = np.bincount(g_sorted, minlength=nbw * W).astype(np.int32)
     cap = int(counts_flat.max()) if counts_flat.size else 0
@@ -124,7 +126,13 @@ def pack_blocked(
 def _pack_blocked_native(start, end, n, W, B, L, cap_multiple,
                          return_slots=False):
     """C counting-sort packing (io/csrc/greedy.cpp gd_pack_blocked) — the
-    numpy argsort path costs minutes at 10M+ reads on slow-fault VMs."""
+    numpy argsort path costs minutes at 10M+ reads on slow-fault VMs.
+
+    Returned arrays are ZERO-COPY VIEWS of process-lifetime C arenas:
+    valid only until the next ``pack_blocked`` call. Every consumer either
+    transfers them to device or finishes with them inside one solve; the
+    copies this used to make were pure first-touch page-fault cost
+    (~1-2 s/call at 6M reads on the dev VM)."""
     import ctypes
 
     from genome_downsampler_tpu.io.build import build_bamio
@@ -140,8 +148,6 @@ def _pack_blocked_native(start, end, n, W, B, L, cap_multiple,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
     ]
-    lib.gd_free_i32.argtypes = [ctypes.POINTER(ctypes.c_int32)]
-    lib.gd_free_i64.argtypes = [ctypes.POINTER(ctypes.c_int64)]
     s = np.ascontiguousarray(start, np.int64)
     e = np.ascontiguousarray(end, np.int64)
     p_packed = ctypes.POINTER(ctypes.c_int32)()
@@ -159,22 +165,68 @@ def _pack_blocked_native(start, end, n, W, B, L, cap_multiple,
     )
     if rc != 0:
         raise ValueError("gd_pack_blocked: invalid reads (span/start bounds)")
-    try:
-        nbw = win.value // B
-        packed = np.ctypeslib.as_array(
-            p_packed, shape=(nbw, W, cap.value)
-        ).copy()
-        counts = np.ctypeslib.as_array(p_counts, shape=(nbw, W)).copy()
-        if return_slots:
-            slots = np.ctypeslib.as_array(p_slots, shape=(s.shape[0],)).copy()
-    finally:
-        lib.gd_free_i32(p_packed)
-        lib.gd_free_i32(p_counts)
-        if return_slots:
-            lib.gd_free_i64(p_slots)
+    nbw = win.value // B
+    packed = np.ctypeslib.as_array(p_packed, shape=(nbw, W, cap.value))
+    counts = np.ctypeslib.as_array(p_counts, shape=(nbw, W))
     if return_slots:
+        slots = np.ctypeslib.as_array(p_slots, shape=(s.shape[0],))
         return packed, counts, win.value, W * win.value, slots
     return packed, counts, win.value, W * win.value
+
+
+def pack_to_u16(packed: np.ndarray) -> np.ndarray:
+    """Narrow int32 codes to uint16 (sentinel -1 -> 0xFFFF) through the C
+    arena — avoids a page-faulting numpy astype copy on the hot path.
+    The view is valid until the next call."""
+    import ctypes
+
+    from genome_downsampler_tpu.io.build import build_bamio
+
+    try:
+        lib = ctypes.CDLL(str(build_bamio()))
+    except OSError:
+        return packed.astype(np.uint16)
+    lib.gd_pack_to_u16.restype = ctypes.c_int64
+    lib.gd_pack_to_u16.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),
+    ]
+    flat = np.ascontiguousarray(packed.reshape(-1), np.int32)
+    p16 = ctypes.POINTER(ctypes.c_uint16)()
+    lib.gd_pack_to_u16(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        flat.shape[0], ctypes.byref(p16),
+    )
+    return np.ctypeslib.as_array(p16, shape=packed.shape)
+
+
+def mask_select(bits: np.ndarray, slots: np.ndarray) -> np.ndarray:
+    """Selected read indices from the device bitmask (threaded C bit test;
+    numpy fallback)."""
+    import ctypes
+
+    from genome_downsampler_tpu.io.build import build_bamio
+
+    r = slots.shape[0]
+    try:
+        lib = ctypes.CDLL(str(build_bamio()))
+    except OSError:
+        sel01 = (bits[slots >> 3] >> (slots & 7)) & 1
+        return np.flatnonzero(sel01).astype(np.int64)
+    lib.gd_mask_select.restype = ctypes.c_int64
+    lib.gd_mask_select.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    b = np.ascontiguousarray(bits, np.uint8)
+    sl = np.ascontiguousarray(slots, np.int64)
+    out01 = np.empty(r, np.uint8)
+    lib.gd_mask_select(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        r, out01.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return np.flatnonzero(out01).astype(np.int64)
 
 
 def _blocked_kernel(
@@ -496,6 +548,251 @@ def blocked_sweep_pass(
         interpret=interpret,
     )(counts_flat, packed, target, avail0, selend0, avail0i)
     return out, availf, selendf, availfi
+
+
+def _recon_kernel(
+    counts_ref,   # int32[nbw_total * W] SMEM — same contract as the sweep
+    packed_ref,   # int32[1, W, cap] VMEM
+    xwin_ref,     # int32[W, Lring] VMEM — cross-window bucket offsets
+    *sel_and_out,  # n_halo x sel tiles (W, B) VMEM, then outputs/scratch
+    block: int,
+    chunk: int,
+    max_span: int,
+    static_chunks: bool,
+    n_halo: int,
+):
+    """Identity-reconstruction mask: for each packed read, decide
+    ``bucket_rank < sel_per_end[end]`` where bucket_rank orders the end
+    bucket by (start, original index).
+
+    No sorting: the bucket rank decomposes per read as
+      (reads in earlier windows ending here)            -> xwin input
+    + (reads in earlier blocks of this window, same end) -> ring accumulator
+    + (reads in this block with smaller start, same end) -> strictly-lower
+                                                            one-hot against
+                                                            the absolute-
+                                                            end tile
+    + (equal-(start,end) reads with smaller index)       -> within/cross
+                                                            chunk equal-code
+                                                            counts (groups
+                                                            are code-sorted)
+    All per-slot gathers ride the same one-hot matmuls as the tile build
+    (value = colsum(start_onehot * (M @ end_onehot))), so the kernel is
+    MXU-bound like the build and touches each code O(1) times. This
+    replaced an argsort-based epilogue whose TPU sort compiled for ~9
+    minutes and ran ~1s per 25M slots.
+    """
+    sel_refs = sel_and_out[:n_halo]
+    selb_ref = sel_and_out[n_halo]
+    tile_s = sel_and_out[n_halo + 1]
+    acc_s = sel_and_out[n_halo + 2]
+    t_loc = pl.program_id(0)
+    W, B, Lring = tile_s.shape
+    L = max_span
+    C = chunk
+    cap = packed_ref.shape[3]
+
+    @pl.when(t_loc == 0)
+    def _():
+        acc_s[:] = xwin_ref[:].astype(jnp.float32)
+
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
+    ring_l = jax.lax.broadcasted_iota(jnp.int32, (Lring, C), 0)
+
+    # Both window loops run as fori_loops with a DYNAMIC window index: a
+    # static W-unroll at W=64 made Mosaic's scoped stack hold every
+    # iteration's temporaries at once and blew the 16 MB VMEM budget at
+    # chr1-class grids. Every W-indexed buffer is laid out W-LEADING
+    # (untiled axis) because Mosaic cannot prove alignment of a dynamic
+    # index on a tiled sublane axis. All chunks run unconditionally
+    # (sentinels contribute nothing / are masked), so the body is
+    # w-uniform.
+    nch_all = cap // C
+
+    # ---- build the absolute-end tile: tile[w, b, e'] = reads starting at
+    # block-relative b with end - t*B == e'
+    def build_w(w, _):
+        for j in range(nch_all):
+            codes = packed_ref[pl.ds(w, 1), 0, 0, pl.ds(j * C, C)].reshape(1, C)
+            a = (codes // L == row_b).astype(jnp.float32)
+            e1 = (codes // L + codes % L == ring_l).astype(jnp.float32)
+            part = jax.lax.dot_general(
+                a, e1,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if j == 0:
+                tile_s[pl.ds(w, 1)] = part[None]
+            else:
+                tile_s[pl.ds(w, 1)] = tile_s[pl.ds(w, 1)] + part[None]
+        return 0
+
+    jax.lax.fori_loop(0, W, build_w, 0)
+
+    coltot = jnp.sum(tile_s[:], axis=1, keepdims=True)  # (W, 1, Lring)
+
+    # ---- per-slot gathers and the mask decision
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    )
+
+    def gather_w(w, _):
+        sel_row = jnp.concatenate(
+            [sr[pl.ds(w, 1), 0, 0, :].reshape(1, -1) for sr in sel_refs], axis=1
+        ).astype(jnp.float32)  # (1, n_halo * B) == (1, Lring)
+        accw = acc_s[pl.ds(w, 1), 0, :].reshape(1, -1)  # (1, Lring)
+        cpw = tile_s[pl.ds(w, 1)].reshape(B, Lring)
+        for j in range(nch_all):
+            codes = packed_ref[pl.ds(w, 1), 0, 0, pl.ds(j * C, C)].reshape(1, C)
+            # strictly-lower one-hot: row b contributes iff b < the slot's
+            # start row — the per-slot column prefix without any scan
+            a_lt = (codes // L > row_b).astype(jnp.float32)
+            e1 = (codes // L + codes % L == ring_l).astype(jnp.float32)
+            m1 = jax.lax.dot_general(
+                cpw, e1,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B, C) — m1[b, s] = tile[b, end_of_slot_s]
+            celloff = jnp.sum(a_lt * m1, axis=0, keepdims=True)
+            acc_c = jax.lax.dot_general(
+                accw, e1,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            c_s = jax.lax.dot_general(
+                sel_row, e1,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # same-cell (equal-code) earlier-index counts; groups are
+            # code-sorted with stable index order, so equal codes from
+            # earlier chunks/slots are exactly the earlier-index cellmates
+            codes_t = codes.reshape(C, 1)
+            eq_in = (codes_t == codes) & tri
+            rank = jnp.sum(eq_in.astype(jnp.float32), axis=0, keepdims=True)
+            for j2 in range(j):
+                prev = packed_ref[pl.ds(w, 1), 0, 0, pl.ds(j2 * C, C)].reshape(1, C)
+                eq_x = prev.reshape(C, 1) == codes
+                rank = rank + jnp.sum(
+                    eq_x.astype(jnp.float32), axis=0, keepdims=True
+                )
+            bucket_rank = celloff + acc_c + rank
+            selbit = (bucket_rank < c_s) & (codes >= 0)
+            selb_ref[
+                pl.ds(w, 1), 0:1, 0:1, pl.ds(j * C, C)
+            ] = selbit.astype(jnp.int8).reshape(1, 1, 1, C)
+        return 0
+
+    jax.lax.fori_loop(0, W, gather_w, 0)
+
+    # ring shift the accumulator to the next block's origin
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W, 1, Lring), 2)
+    acc_s[:] = jnp.where(
+        lane < Lring - B,
+        pltpu.roll(acc_s[:] + coltot, Lring - B, 2),
+        0.0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_windows", "block", "max_span", "chunk", "interpret",
+        "static_chunks",
+    ),
+)
+def blocked_selection_pass(
+    packed: jax.Array,   # int32[nbw, W, cap]
+    counts: jax.Array,   # int32[nbw, W]
+    sel: jax.Array,      # int32[W * win] — sweep output
+    xwin: jax.Array,     # int32[W, B + max_span] cross-window offsets
+    n_windows: int,
+    block: int,
+    max_span: int,
+    chunk: int = 256,
+    interpret: bool = False,
+    static_chunks: bool = False,
+):
+    """Pass 2: per-slot selection bytes for the whole packed array.
+
+    Returns ``selbytes (nbw, W, cap) int8`` — 1 where the slot's read is
+    selected under the canonical first-by-(start, index) bucket rule.
+    """
+    W, B, L = n_windows, block, max_span
+    nbw, Wp, cap = packed.shape
+    assert Wp == W
+    assert L % B == 0, (L, B)  # halo tiling needs an integral tile count
+    Lring = B + L
+    n_halo = Lring // B
+    win = nbw * B
+    if static_chunks:
+        counts_flat = jnp.zeros(1, jnp.int32)
+    else:
+        counts_flat = counts.reshape(nbw * W)
+    assert xwin.shape == (W, Lring)
+
+    # sel with a cross-window + end-of-genome halo: row w continues into
+    # row w+1's first L columns (global end coordinates)
+    sel2 = sel.reshape(W, win)
+    nxt = jnp.concatenate(
+        [sel2[1:, :L], jnp.zeros((1, L), sel2.dtype)], axis=0
+    )
+    # all W-indexed kernel operands are W-LEADING (see _recon_kernel); the
+    # transposes are device-side HBM copies, negligible next to the solve
+    sel_halo = jnp.concatenate([sel2, nxt], axis=1).reshape(
+        W, (win + L) // B, 1, B
+    )
+    packed_t = jnp.swapaxes(packed, 0, 1).reshape(W, nbw, 1, cap)
+    xwin3 = xwin.reshape(W, 1, Lring)
+
+    # Block shapes insert singleton dims so the last-two block dims EQUAL
+    # the array's (the Pallas lowering rule) while the dynamic window index
+    # stays on the untiled leading axis.
+    def halo_map(k):
+        return lambda t, c, k=k: (0, t + k, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbw,),
+        in_specs=[
+            pl.BlockSpec(
+                (W, 1, 1, cap), lambda t, c: (0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (W, 1, Lring), lambda t, c: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *[
+                pl.BlockSpec(
+                    (W, 1, 1, B), halo_map(k), memory_space=pltpu.VMEM
+                )
+                for k in range(n_halo)
+            ],
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (W, 1, 1, cap), lambda t, c: (0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, B, Lring), jnp.float32),
+            pltpu.VMEM((W, 1, Lring), jnp.float32),
+        ],
+    )
+    (selbytes_t,) = pl.pallas_call(
+        functools.partial(
+            _recon_kernel, block=B, chunk=chunk, max_span=L,
+            static_chunks=static_chunks, n_halo=n_halo,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((W, nbw, 1, cap), jnp.int8)],
+        interpret=interpret,
+    )(counts_flat, packed_t, xwin3, *([sel_halo] * n_halo))
+    # back to (nbw, W, cap) flat-slot order
+    return jnp.swapaxes(selbytes_t.reshape(W, nbw, cap), 0, 1)
 
 
 @functools.partial(

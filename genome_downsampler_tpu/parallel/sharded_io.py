@@ -398,22 +398,35 @@ def _merge_and_write(voffs_local, path, out_path, config) -> np.ndarray:
     return merged
 
 
+LAST_QMCP_STATS: dict = {}
+
+
 def _run_sharded_qmcp(
     batch, n, max_coverage, lo_w, hi_w, path, out_path, config
 ) -> np.ndarray:
-    """Exact weighted QMCP in sharded mode: distributed parse, replicated
-    deterministic solve.
+    """Exact weighted QMCP in sharded mode: distributed parse, PARTITIONED
+    bucket build, truncated-pool gather, replicated bucket solve.
 
     Every read is owned by the rank whose window contains its START (a
-    partition of the read set). Owned reads' (start, end, quality,
-    voffset) are allgathered, re-ordered by voffset (= file order, the
-    same order a whole-file import yields), and the convex-bucket MCMF
-    (``solvers.native_mcmf``) runs identically on every rank — exact and
-    bit-equal to a single-process ``qmcp-cpu`` run, while the expensive
-    BAM scan/pairing/filtering stays sharded. Memory: O(total reads) per
-    rank for the gathered triples (documented envelope; the weighted
-    objective could not otherwise be globally exact)."""
-    from genome_downsampler_tpu.solvers.native_mcmf import mcmf_select_convex
+    partition, so every convex bucket — a distinct (start, end) — lives
+    wholly on one rank). Each rank builds its buckets locally in the
+    whole-file emission order, truncates every pool to its cheapest
+    ``min(count, M)`` units (exact: positive unit costs mean the optimum
+    never flows more than M through one bucket — flowing M+1 would
+    over-cover position `start` whose target is at most M, and dropping
+    the dearest unit stays feasible and strictly cheaper), and allgathers
+    only ``(bucket spans, truncated costs)`` — O(distinct_spans * min(dup,
+    M)) per rank instead of r3's O(total_reads) 6-tuples. The bucket-level
+    MCMF runs identically on every rank; each rank expands ONLY its own
+    buckets' flows back to concrete reads (voffsets never leave the rank).
+    Bit-equal to a single-process ``qmcp-cpu`` run: bucket order, pool
+    order and tie-breaks reproduce the whole-file import exactly."""
+    import jax
+
+    from genome_downsampler_tpu.solvers.device_mcmf import (
+        build_convex_buckets,
+    )
+    from genome_downsampler_tpu.solvers.native_mcmf import mcmf_flows_convex
 
     start = np.asarray(batch.start, np.int64)
     end = np.asarray(batch.end, np.int64)
@@ -421,25 +434,83 @@ def _run_sharded_qmcp(
     voff = np.asarray(batch.bam_id, np.int64)
     # A whole-file import emits each pair at its SECOND mate's record
     # (pair-completion order), first mate first. Reproducing that exact
-    # order for the gathered reads makes every within-bucket tie break
+    # order for the owned reads makes every within-bucket tie break
     # identically to a single-process solve: key = (max voffset of the
     # pair, mate rank). Mates are locally adjacent (index ^ 1).
     pairmax = np.maximum(voff, voff[np.arange(voff.shape[0]) ^ 1])
     rank2 = (~np.asarray(batch.is_first, bool)).astype(np.int64)
-    own = (start >= lo_w) & (start < hi_w)
-    mat = np.stack(
-        [start[own], end[own], q[own], voff[own], pairmax[own], rank2[own]]
+    own = np.flatnonzero((start >= lo_w) & (start < hi_w))
+    own = own[np.lexsort((rank2[own], pairmax[own]))]  # emission order
+
+    # global max quality for the cost map (qmcp_cpu_cost_scaling_solver
+    # .cpp:44-49 uses the whole file's max)
+    q_max_local = np.array([[q[own].max() if len(own) else 0]], np.int64)
+    q_max = max(int(p[0, 0]) for p in _allgather_varlen_i64(q_max_local))
+    cost = q_max - q[own] + 1
+
+    bs, be, off, pool, border, _first = build_convex_buckets(
+        start[own], end[own], cost
     )
-    parts = _allgather_varlen_i64(mat)
-    gs, ge, gq, gv, gpm, gr2 = (
-        np.concatenate([p[k] for p in parts]) for k in range(6)
+    nb = bs.shape[0]
+    cnts = np.diff(off)
+    keepn = np.minimum(cnts, int(max_coverage))
+    rank_in = np.arange(len(pool), dtype=np.int64) - np.repeat(
+        off[:-1], cnts
     )
-    order = np.lexsort((gr2, gpm))  # == whole-file emission order
-    gs, ge, gq, gv = gs[order], ge[order], gq[order], gv[order]
-    cost = gq.max(initial=0) - gq + 1  # qmcp_cpu_cost_scaling_solver.cpp:44-49
-    sel = mcmf_select_convex(gs, ge, cost, int(n), int(max_coverage))
-    sel_voffs = gv[np.asarray(sel, np.int64)]
-    mine = own & np.isin(voff, sel_voffs)
-    paired = batch.find_pairs(np.flatnonzero(mine))
+    pool_t = pool[rank_in < np.repeat(keepn, cnts)]
+
+    # 2 int64 columns per bucket: start, and (span << 20 | kept-units) —
+    # keeps the worst-case (all-distinct spans) per-rank gather under 60%
+    # of the r3 replicated 6-tuple footprint even before truncation helps
+    packed_meta = ((be - bs + 1) << 20) | keepn.astype(np.int64)
+    meta = np.concatenate(
+        [np.array([nb], np.int64), bs, packed_meta]
+    ).reshape(1, -1)
+    mparts = _allgather_varlen_i64(meta)
+    pparts = _allgather_varlen_i64(pool_t.reshape(1, -1))
+
+    gbs, gbe, gkeep = [], [], []
+    for p in mparts:
+        row = p.reshape(-1)
+        b_k = int(row[0])
+        pbs = row[1 : 1 + b_k]
+        pm = row[1 + b_k : 1 + 2 * b_k]
+        gbs.append(pbs)
+        gbe.append(pbs + (pm >> 20) - 1)
+        gkeep.append(pm & ((1 << 20) - 1))
+    my_rank = jax.process_index()
+    my_b0 = int(sum(len(x) for x in gbs[:my_rank]))
+    gbs_c = np.concatenate(gbs)
+    gbe_c = np.concatenate(gbe)
+    gkeep_c = np.concatenate(gkeep)
+    goff = np.zeros(len(gbs_c) + 1, np.int64)
+    np.cumsum(gkeep_c, out=goff[1:])
+    gpool = np.concatenate([p.reshape(-1) for p in pparts])
+
+    # ranks own ascending start windows, and each local bucket list is
+    # (start, end)-sorted, so the concatenation is globally sorted — the
+    # exact bucket sequence a whole-file build produces
+    flows = mcmf_flows_convex(
+        gbs_c, gbe_c, goff, gpool, int(n), int(max_coverage)
+    )
+    tot_reads = sum(
+        int(p.reshape(-1)[0])
+        for p in _allgather_varlen_i64(np.array([[len(own)]], np.int64))
+    )
+    global LAST_QMCP_STATS
+    LAST_QMCP_STATS = {
+        # what this rank now holds of remote data vs what the r3 scheme
+        # replicated (6-column int64 tuples for every read)
+        "gathered_bytes": int((2 * len(gbs_c) + len(gpool)) * 8),
+        "replicated_tuple_bytes_r3": int(6 * 8 * tot_reads),
+        "buckets": int(len(gbs_c)),
+        "pool_units": int(len(gpool)),
+        "total_reads": int(tot_reads),
+    }
+
+    my_flows = flows[my_b0 : my_b0 + nb]
+    take = rank_in < np.repeat(my_flows, cnts)
+    mine_idx = own[border[take]]
+    paired = batch.find_pairs(np.sort(mine_idx))
     voffs_local = np.asarray(batch.bam_id[paired], np.int64)
     return _merge_and_write(voffs_local, path, out_path, config)

@@ -21,8 +21,11 @@ import numpy as np
 
 from genome_downsampler_tpu.core.readbatch import ReadBatch
 from genome_downsampler_tpu.ops.pallas_blocked import (
+    blocked_selection_pass,
     blocked_windowed_sweep,
+    mask_select,
     pack_blocked,
+    pack_to_u16,
 )
 from genome_downsampler_tpu.solvers.base import Solution, Solver
 from genome_downsampler_tpu.solvers.device_sweep import (
@@ -124,13 +127,17 @@ def _blocked_pipeline_mask(
     static_chunks: bool = False,
     out_dtype: str = "int32",  # kept for signature parity; mask is uint8
     max_coverage: int = 0,
+    xwin: jax.Array | None = None,
 ):
     """Like ``_blocked_pipeline`` but reconstructs on device: returns
     ``(mask_bits[S//8] uint8, n_selected, rounds)`` — the full solve plus
     identity assignment in ONE dispatch, shipping back bits instead of
     per-position counts (transfer diet stage 2). ``target=None`` derives
     the capped target in-kernel from ``max_coverage`` (no target array
-    is built, shipped, or stored at all)."""
+    is built, shipped, or stored at all). ``xwin`` (required) carries the
+    host-computed cross-window bucket offsets for the reconstruction
+    kernel; when it is None the argsort fallback engine runs instead
+    (kept for cross-validation; its TPU sort compiles minutes-slow)."""
     if packed.dtype == jnp.uint16:
         p32 = packed.astype(jnp.int32)
         p32 = jnp.where(p32 == 0xFFFF, jnp.int32(-1), p32)
@@ -143,8 +150,21 @@ def _blocked_pipeline_mask(
         static_chunks=static_chunks,
         auto_target=auto, max_coverage=max_coverage,
     )
-    bits, n_selected = _selection_mask(
-        p32, sel, n_windows, block, max_span, win
+    if xwin is None:
+        bits, n_selected = _selection_mask(
+            p32, sel, n_windows, block, max_span, win
+        )
+        return bits, n_selected, rounds
+    selbytes = blocked_selection_pass(
+        p32, counts, sel, xwin, n_windows, block, max_span, chunk,
+        interpret, static_chunks,
+    )
+    flat = selbytes.reshape(-1)
+    n_selected = jnp.sum(flat.astype(jnp.int32))
+    bits = jnp.sum(
+        flat.reshape(-1, 8).astype(jnp.uint8)
+        << jnp.arange(8, dtype=jnp.uint8),
+        axis=1, dtype=jnp.uint8,
     )
     return bits, n_selected, rounds
 
@@ -231,6 +251,25 @@ def _capped_target_host(
     return np.minimum(np.cumsum(d[:n_pad]), max_coverage).astype(np.int32)
 
 
+def _cross_window_offsets(
+    start: np.ndarray, end: np.ndarray, win: int, W: int, B: int, L: int
+) -> np.ndarray:
+    """xwin[w, e'] = count of reads from windows < w whose end falls at
+    window-w-relative position e' — the bucket-rank offset those reads
+    contribute (their starts are all smaller than any window-w start).
+    Tiny: only reads within max_span of a window boundary qualify."""
+    xw = np.zeros((W, B + L), np.int32)
+    if len(start) == 0:
+        return xw
+    w_id = start // win
+    spill = np.flatnonzero(end >= (w_id + 1) * win)
+    if len(spill):
+        rows = w_id[spill] + 1
+        cols = end[spill] - rows * win
+        np.add.at(xw, (rows, cols), 1)
+    return xw
+
+
 def _narrow_dtype(max_value: int) -> np.dtype:
     if max_value <= np.iinfo(np.int8).max:
         return np.dtype(np.int8)
@@ -264,6 +303,8 @@ class BlockedWindowedMcpSolver(Solver):
         self.chunk = chunk
         self.interpret = interpret
         self.device_reconstruct = device_reconstruct
+        # filled by solve(): relaxation rounds actually used, geometry
+        self.last_stats: dict | None = None
 
     def _interpret(self) -> bool:
         if self.interpret == "auto":
@@ -315,10 +356,10 @@ class BlockedWindowedMcpSolver(Solver):
         # transfer diet (see _blocked_pipeline): uint16 codes when the code
         # space fits and 0xFFFF stays a free sentinel (the int32 -1 maps to
         # exactly 0xFFFF under the cast)
-        if B * L <= 1 << 16 and (
-            packed.size == 0 or int(packed.max()) < 0xFFFF
-        ):
-            packed = packed.astype(np.uint16)
+        if B * L <= 1 << 16:
+            # real codes are <= B*L - 2 (span cap is L-1), so the 0xFFFF
+            # sentinel can never collide — no max() scan needed
+            packed = pack_to_u16(packed)
 
         small = _narrow_dtype(int(max_coverage))
 
@@ -326,6 +367,7 @@ class BlockedWindowedMcpSolver(Solver):
             # target derived in-kernel (auto_target): nothing to compute or
             # ship — the r3 path built an n-length capped-coverage array on
             # the host and transferred it every solve
+            xwin = _cross_window_offsets(start, end, win, W, B, L)
             bits, n_selected, _rounds = _blocked_pipeline_mask(
                 jnp.asarray(packed),
                 jnp.asarray(counts),
@@ -338,12 +380,16 @@ class BlockedWindowedMcpSolver(Solver):
                 win,
                 static_chunks=static_chunks,
                 max_coverage=int(max_coverage),
+                xwin=jnp.asarray(xwin),
             )
             ph.lap("device dispatch")
             bits_np = np.asarray(bits)
             ph.lap("bits readback")
-            sel_mask = (bits_np[slots >> 3] >> (slots & 7)) & 1
-            out = np.flatnonzero(sel_mask).astype(np.int64)
+            self.last_stats = {
+                "rounds": int(_rounds), "n_windows": W, "block": B,
+                "positions_per_pass": win,
+            }
+            out = mask_select(bits_np, slots)
             ph.lap("bit test")
             if len(out) != int(n_selected):
                 raise RuntimeError(
@@ -366,5 +412,9 @@ class BlockedWindowedMcpSolver(Solver):
             out_dtype=str(small),
             max_coverage=int(max_coverage),
         )
+        self.last_stats = {
+            "rounds": int(_rounds), "n_windows": W, "block": B,
+            "positions_per_pass": win,
+        }
         sel_np = np.asarray(sel_per_end)[:n].astype(np.int64)
         return reconstruct_selection(start, end, sel_np)

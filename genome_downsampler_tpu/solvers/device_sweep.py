@@ -302,9 +302,10 @@ class McpDeviceSweepSolver(Solver):
                 BlockedWindowedMcpSolver,
             )
 
-            return BlockedWindowedMcpSolver(max_span=self.max_span).solve(
-                max_coverage, batch
-            )
+            blocked = BlockedWindowedMcpSolver(max_span=self.max_span)
+            out = blocked.solve(max_coverage, batch)
+            self.last_stats = blocked.last_stats
+            return out
         use_pallas = self._pallas_enabled()
         block = 512
         # Pallas grid wants n to be a block multiple; extra positions carry

@@ -140,6 +140,40 @@ def mcmf_select_convex(
     return np.sort(order[take]).astype(np.int64)
 
 
+def mcmf_flows_convex(
+    bstart: np.ndarray,
+    bend: np.ndarray,
+    off: np.ndarray,
+    pool: np.ndarray,
+    genome_length: int,
+    max_coverage: int,
+) -> np.ndarray:
+    """Bucket-level entry: exact per-bucket take counts for pre-built
+    convex buckets (``pool[off[b]:off[b+1]]`` ascending unit costs).
+    Used by the partitioned sharded QMCP, which gathers buckets rather
+    than reads."""
+    lib = _load()
+    b = int(bstart.shape[0])
+    if b == 0:
+        return np.zeros(0, np.int64)
+    bs = np.ascontiguousarray(bstart, np.int64)
+    be = np.ascontiguousarray(bend, np.int64)
+    of = np.ascontiguousarray(off, np.int64)
+    pl = np.ascontiguousarray(pool, np.int64)
+    flows = np.zeros(b, np.int64)
+    rc = lib.gd_qmcp_mcmf_convex(
+        bs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        be.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        of.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b, genome_length, max_coverage,
+        flows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise ValueError("gd_qmcp_mcmf_convex: invalid or infeasible input")
+    return flows
+
+
 def mcmf_select_bucketed(
     start: np.ndarray,
     end: np.ndarray,

@@ -21,11 +21,11 @@ _BGZF_EOF = bytes.fromhex(
 )
 
 
-def _bgzf_compress(data: bytes) -> bytes:
+def _bgzf_compress(data: bytes, level: int = 6) -> bytes:
     out = bytearray()
     for off in range(0, len(data), 0xFF00):
         chunk = data[off : off + 0xFF00]
-        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = zlib.compressobj(level, zlib.DEFLATED, -15)
         cdata = comp.compress(chunk) + comp.flush()
         bsize = 18 + len(cdata) + 8
         out += struct.pack(
@@ -72,6 +72,100 @@ class _BgzfTrackingWriter:
 
 
 _CIGAR_OPS = "MIDNSHP=X"
+
+
+def write_test_bam_fast(
+    path: Path | str,
+    batch: ReadBatch,
+    ref_name: str = "ref1",
+) -> None:
+    """Vectorized single-contig BAM writer for LARGE synthetic inputs.
+
+    Same record content as :func:`write_test_bam` with fixed-width qnames
+    (``p%09d``), coordinate-sorted, single ``<span>M`` cigar — but the
+    record stream is assembled with numpy byte surgery instead of a Python
+    loop, so config-4-scale inputs (10M+ reads, ~GB BAMs) synthesize in
+    tens of seconds instead of many minutes.
+    """
+    r = batch.n_reads
+    if r == 0 or len(batch.contig_lengths) > 1:
+        raise ValueError("fast writer: non-empty single-contig batches only")
+    order = np.argsort(batch.start, kind="stable")
+    start = batch.start[order].astype(np.int64)
+    end = batch.end[order].astype(np.int64)
+    quality = batch.quality[order].astype(np.int64)
+    seq_len = batch.seq_length[order].astype(np.int64)
+    is_first = batch.is_first[order]
+    pair_idx = (batch.bam_id[order] // 2).astype(np.int64)
+    mate_start = np.zeros(r, np.int64)  # next_pos unused by the reader
+
+    text = f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{ref_name}\tLN:{batch.ref_genome_length}\n"
+    hdr = b"BAM\x01"
+    hdr += struct.pack("<i", len(text)) + text.encode()
+    hdr += struct.pack("<i", 1)
+    nm = ref_name.encode() + b"\x00"
+    hdr += struct.pack("<i", len(nm)) + nm + struct.pack(
+        "<i", int(batch.ref_genome_length)
+    )
+
+    QW = 11  # "p%09d\0"
+    span = end - start + 1
+    seqb = (seq_len + 1) // 2
+    rec_len = 32 + QW + 4 + seqb + seq_len  # fixed fields + qname+cigar+seq+qual
+    tot_len = rec_len + 4  # incl. block_size prefix
+    if not (seq_len == seq_len[0]).all():
+        raise ValueError("fast writer: uniform seq_length only")
+    n_bytes = int(tot_len[0]) * r
+    buf = np.zeros((r, int(tot_len[0])), np.uint8)
+
+    def put_i32(col, values):
+        buf[:, col : col + 4] = (
+            values.astype(np.uint32)[:, None]
+            >> np.array([0, 8, 16, 24], np.uint32)
+        ).astype(np.uint8) & 0xFF
+
+    put_i32(0, np.full(r, rec_len[0], np.int64))   # block_size
+    put_i32(4, np.zeros(r, np.int64))              # refID
+    put_i32(8, start)                              # pos
+    buf[:, 12] = QW                                # l_read_name
+    buf[:, 13] = quality & 0xFF                    # mapq
+    # bin (2 bytes) zero
+    buf[:, 16] = 1                                 # n_cigar lo
+    flag = 0x1 | np.where(is_first, 0x40, 0x80)
+    buf[:, 18] = flag & 0xFF
+    buf[:, 19] = flag >> 8
+    put_i32(20, seq_len)                           # l_seq
+    put_i32(24, np.full(r, -1, np.int64))          # next_refID
+    put_i32(28, mate_start - 1)                    # next_pos (-1: unused)
+    # tlen (4 bytes at 32? no: layout is 32 fixed) — fixed part is 36 incl
+    # block_size: offsets above already account for the 4-byte prefix
+    qs = 36
+    # qname "p%09d\0": digits vectorized
+    digits = np.empty((r, 9), np.uint8)
+    v = pair_idx.copy()
+    for d in range(8, -1, -1):
+        digits[:, d] = (v % 10) + ord("0")
+        v //= 10
+    buf[:, qs] = ord("p")
+    buf[:, qs + 1 : qs + 10] = digits
+    # qname NUL at qs+10 already zero
+    cig = qs + QW
+    put_i32(cig, (span << 4) | 0)                  # <span>M
+    sq = cig + 4
+    buf[:, sq : sq + int(seqb[0])] = 0x11          # poly-A
+    buf[:, sq + int(seqb[0]) :] = 30               # qual
+    raw = buf.reshape(-1).tobytes()
+
+    # tlen field: the layout above uses 32 fixed bytes after the prefix
+    # (refID..next_pos is 28 bytes; tlen occupies 32..36) — zeros, already
+    del buf
+    with open(path, "wb") as f:
+        f.write(_bgzf_compress(hdr))
+        step = 0xFF00 * 64
+        for off in range(0, n_bytes, step):
+            # level 1: synthetic test data, write speed over ratio
+            f.write(_bgzf_compress(raw[off : off + step], level=1))
+        f.write(_BGZF_EOF)
 
 
 def write_test_bam(

@@ -61,6 +61,7 @@ def main():
     p_counts = ctypes.POINTER(ctypes.c_int32)()
     win = ctypes.c_int64()
     cap = ctypes.c_int64()
+    p_slots = ctypes.POINTER(ctypes.c_int64)()
     rc = lib.gd_pack_blocked(
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -69,10 +70,29 @@ def main():
         ctypes.c_int64(4),
         ctypes.byref(p_packed), ctypes.byref(p_counts),
         ctypes.byref(win), ctypes.byref(cap),
+        ctypes.byref(p_slots),
     )
     assert rc == 0
-    lib.gd_free_i32(p_packed)
-    lib.gd_free_i32(p_counts)
+    # outputs are arena-owned (reused across calls): NOT freed here.
+    # exercise the u16 narrowing + mask bit test on the packed result
+    nslots = (win.value // 256) * 8 * cap.value
+    lib.gd_pack_to_u16.restype = ctypes.c_int64
+    p16 = ctypes.POINTER(ctypes.c_uint16)()
+    rc = lib.gd_pack_to_u16(p_packed, ctypes.c_int64(nslots),
+                            ctypes.byref(p16))
+    assert rc == 0
+    bits = np.random.default_rng(0).integers(
+        0, 256, (nslots + 7) // 8, dtype=np.uint8
+    )
+    slots_arr = np.ctypeslib.as_array(p_slots, shape=(len(s),))
+    out01 = np.empty(len(s), np.uint8)
+    lib.gd_mask_select.restype = ctypes.c_int64
+    lib.gd_mask_select(
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        slots_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(s)),
+        out01.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
 
     # fuzz sweep under ASan: corrupt/truncated inputs must be rejected
     # cleanly (see tests/test_io_fuzz.py for the pytest-side corpus)

@@ -148,6 +148,54 @@ def test_device_reconstruct_mask_equals_host_reconstruct(seed, m):
     np.testing.assert_array_equal(sel_dev, sel_host)
 
 
+def test_device_reconstruct_stress_duplicates_and_spill():
+    """Adversarial mask-reconstruction data: heavy duplicate (start, end)
+    cells (exercises intra-cell index ranks incl. cross-chunk runs), groups
+    overflowing one chunk (cap > chunk), and reads ending across window
+    boundaries (exercises the xwin offsets)."""
+    from genome_downsampler_tpu.core.readbatch import ReadBatch
+    from genome_downsampler_tpu.solvers.blocked_sweep import (
+        BlockedWindowedMcpSolver,
+    )
+
+    rng = np.random.default_rng(11)
+    n, L = 2048, 64
+    parts = []
+    # clumps of identical reads (PCR-duplicate shape)
+    for ci in range(60):
+        s = int(rng.integers(0, n - L))
+        sp = int(rng.integers(4, L - 1))
+        # one clump larger than a chunk: forces cap > chunk, so equal-code
+        # runs span chunk boundaries (the cross-chunk rank path)
+        k = 100 if ci == 0 else int(rng.integers(2, 24))
+        parts.append(np.tile([[s, s + sp - 1]], (k, 1)))
+    # plus uniform background, with mass near window boundaries
+    s = rng.integers(0, n - L, 800)
+    sp = rng.integers(1, L - 1, 800)
+    parts.append(np.stack([s, s + sp - 1], axis=1))
+    iv = np.concatenate(parts)
+    rng.shuffle(iv)
+    r = len(iv)
+    batch = ReadBatch(
+        bam_id=np.arange(r, dtype=np.int64),
+        start=iv[:, 0].astype(np.int64),
+        end=iv[:, 1].astype(np.int64),
+        quality=np.full(r, 50, np.int64),
+        seq_length=(iv[:, 1] - iv[:, 0] + 1).astype(np.int64),
+        is_first=np.tile([True, False], r // 2 + 1)[:r],
+        ref_genome_length=n,
+    )
+    kw = dict(n_windows=4, block=64, max_span=64, chunk=64)
+    for m in (3, 11):
+        sel_dev = BlockedWindowedMcpSolver(
+            device_reconstruct=True, **kw
+        ).solve(m, batch)
+        sel_host = BlockedWindowedMcpSolver(
+            device_reconstruct=False, **kw
+        ).solve(m, batch)
+        np.testing.assert_array_equal(sel_dev, sel_host)
+
+
 def test_pack_blocked_slots_roundtrip():
     """slots[r] addresses read r's code in the packed array, on both the
     native and numpy packers."""

@@ -148,7 +148,17 @@ _WORKER = textwrap.dedent(
         halo=int(os.environ["GD_HALO"]), max_span=128,
         algorithm="qmcp-cpu",
     )
-    print(f"process {jax.process_index()} merged {len(merged)} OK", flush=True)
+    from genome_downsampler_tpu.parallel import sharded_io as sio
+    st = sio.LAST_QMCP_STATS
+    frac = st["gathered_bytes"] / st["replicated_tuple_bytes_r3"]
+    # VERDICT r4 done-criterion: per-rank remote-data footprint must stay
+    # below 60% of the r3 replicated-tuple scheme even in the worst case
+    assert frac < 0.6, st
+    print(
+        f"process {jax.process_index()} merged {len(merged)} OK "
+        f"gather_frac={frac:.3f}",
+        flush=True,
+    )
     """
 )
 
