@@ -522,6 +522,46 @@ extern "C" int64_t gd_pack_blocked(
     return 0;
 }
 
+// Compact the arena-held padded codes to a flat valid-codes stream in
+// group order (uint16; groups are already code-sorted): what actually
+// ships to the device — the padded (group, cap) layout is rebuilt there
+// by a scatter, so the transfer carries R codes instead of groups * cap.
+// counts: int32[groups]. Arena-owned output.
+extern "C" int64_t gd_pack_flat_u16(
+    const int32_t* packed, const int32_t* counts, int64_t groups,
+    int64_t cap, uint16_t** out) {
+    int64_t total = 0;
+    for (int64_t g = 0; g < groups; ++g) total += counts[g];
+    uint16_t* flat = pack_bufs().packed16.get(std::max<int64_t>(total, 1));
+    const int64_t T = default_threads();
+    // per-thread group ranges with precomputed flat offsets
+    std::vector<int64_t> goff(T + 1, 0);
+    {
+        std::vector<int64_t> csum(T, 0);
+        for (int64_t k = 0; k < T; ++k) {
+            int64_t g0 = groups * k / T, g1 = groups * (k + 1) / T;
+            int64_t s = 0;
+            for (int64_t g = g0; g < g1; ++g) s += counts[g];
+            csum[k] = s;
+        }
+        for (int64_t k = 0; k < T; ++k) goff[k + 1] = goff[k] + csum[k];
+    }
+    std::vector<std::thread> pool;
+    for (int64_t k = 0; k < T; ++k)
+        pool.emplace_back([&, k] {
+            int64_t g0 = groups * k / T, g1 = groups * (k + 1) / T;
+            int64_t w = goff[k];
+            for (int64_t g = g0; g < g1; ++g) {
+                const int32_t* pc = packed + g * cap;
+                for (int32_t i = 0; i < counts[g]; ++i)
+                    flat[w++] = (uint16_t)pc[i];
+            }
+        });
+    for (auto& th : pool) th.join();
+    *out = flat;
+    return total;
+}
+
 // Narrow arena-held packed codes to uint16 (sentinel -1 -> 0xFFFF); valid
 // when B * L <= 2^16. Arena-owned output (overwritten by the next call).
 extern "C" int64_t gd_pack_to_u16(

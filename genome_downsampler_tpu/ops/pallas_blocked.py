@@ -174,6 +174,64 @@ def _pack_blocked_native(start, end, n, W, B, L, cap_multiple,
     return packed, counts, win.value, W * win.value
 
 
+def pack_flat_u16(packed: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Compact padded codes to the flat valid-codes stream (group order,
+    uint16) through the C arena; numpy fallback. The padded device layout
+    is rebuilt by ``expand_flat_codes`` after transfer, so H2D carries R
+    codes instead of ``groups * cap`` slots (~2.5x less at typical skew).
+    The view is valid until the next call."""
+    import ctypes
+
+    from genome_downsampler_tpu.io.build import build_bamio
+
+    groups = packed.shape[0] * packed.shape[1]
+    cap = packed.shape[2]
+    try:
+        lib = ctypes.CDLL(str(build_bamio()))
+    except OSError:
+        flat32 = packed.reshape(groups, cap)
+        keep = (
+            np.arange(cap)[None, :] < counts.reshape(groups, 1)
+        )
+        return flat32[keep].astype(np.uint16)
+    lib.gd_pack_flat_u16.restype = ctypes.c_int64
+    lib.gd_pack_flat_u16.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),
+    ]
+    pk = np.ascontiguousarray(packed.reshape(-1), np.int32)
+    ct = np.ascontiguousarray(counts.reshape(-1), np.int32)
+    p16 = ctypes.POINTER(ctypes.c_uint16)()
+    total = lib.gd_pack_flat_u16(
+        pk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ct.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        groups, cap, ctypes.byref(p16),
+    )
+    return np.ctypeslib.as_array(p16, shape=(int(total),))
+
+
+def expand_flat_codes(flat_u16, counts, nbw: int, W: int, cap: int):
+    """Device-side inverse of ``pack_flat_u16``: scatter the flat stream
+    back into the padded (nbw, W, cap) int32 layout with -1 sentinels.
+    Runs inside the solve jit; one 25M-element scatter costs ~ms next to a
+    multi-second relay transfer of the padded array."""
+    G = nbw * W
+    R = flat_u16.shape[0]
+    c = counts.reshape(G).astype(jnp.int32)
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(c, dtype=jnp.int32)[:-1]]
+    )
+    g = jnp.repeat(
+        jnp.arange(G, dtype=jnp.int32), c, total_repeat_length=R
+    )
+    idx = jnp.arange(R, dtype=jnp.int32) - off[g] + g * cap
+    codes32 = flat_u16.astype(jnp.int32)
+    codes32 = jnp.where(codes32 == 0xFFFF, jnp.int32(-1), codes32)
+    full = jnp.full(G * cap, jnp.int32(-1)).at[idx].set(codes32)
+    return full.reshape(nbw, W, cap)
+
+
 def pack_to_u16(packed: np.ndarray) -> np.ndarray:
     """Narrow int32 codes to uint16 (sentinel -1 -> 0xFFFF) through the C
     arena — avoids a page-faulting numpy astype copy on the hot path.

@@ -23,9 +23,10 @@ from genome_downsampler_tpu.core.readbatch import ReadBatch
 from genome_downsampler_tpu.ops.pallas_blocked import (
     blocked_selection_pass,
     blocked_windowed_sweep,
+    expand_flat_codes,
     mask_select,
     pack_blocked,
-    pack_to_u16,
+    pack_flat_u16,
 )
 from genome_downsampler_tpu.solvers.base import Solution, Solver
 from genome_downsampler_tpu.solvers.device_sweep import (
@@ -111,7 +112,7 @@ def _selection_mask(p32, sel, n_windows, block, max_span, win):
     jax.jit,
     static_argnames=(
         "n_windows", "block", "max_span", "chunk", "interpret",
-        "win", "static_chunks", "out_dtype", "max_coverage",
+        "win", "static_chunks", "out_dtype", "max_coverage", "cap",
     ),
 )
 def _blocked_pipeline_mask(
@@ -128,6 +129,7 @@ def _blocked_pipeline_mask(
     out_dtype: str = "int32",  # kept for signature parity; mask is uint8
     max_coverage: int = 0,
     xwin: jax.Array | None = None,
+    cap: int = 0,  # static; required when packed is the FLAT code stream
 ):
     """Like ``_blocked_pipeline`` but reconstructs on device: returns
     ``(mask_bits[S//8] uint8, n_selected, rounds)`` — the full solve plus
@@ -137,8 +139,14 @@ def _blocked_pipeline_mask(
     is built, shipped, or stored at all). ``xwin`` (required) carries the
     host-computed cross-window bucket offsets for the reconstruction
     kernel; when it is None the argsort fallback engine runs instead
-    (kept for cross-validation; its TPU sort compiles minutes-slow)."""
-    if packed.dtype == jnp.uint16:
+    (kept for cross-validation; its TPU sort compiles minutes-slow).
+
+    A 1-D uint16 ``packed`` is the FLAT valid-code stream (transfer diet
+    stage 3): it expands to the padded layout on device, so H2D carries R
+    codes instead of groups * cap slots."""
+    if packed.ndim == 1:
+        p32 = expand_flat_codes(packed, counts, win // block, n_windows, cap)
+    elif packed.dtype == jnp.uint16:
         p32 = packed.astype(jnp.int32)
         p32 = jnp.where(p32 == 0xFFFF, jnp.int32(-1), p32)
     else:
@@ -356,10 +364,13 @@ class BlockedWindowedMcpSolver(Solver):
         # transfer diet (see _blocked_pipeline): uint16 codes when the code
         # space fits and 0xFFFF stays a free sentinel (the int32 -1 maps to
         # exactly 0xFFFF under the cast)
-        if B * L <= 1 << 16:
-            # real codes are <= B*L - 2 (span cap is L-1), so the 0xFFFF
-            # sentinel can never collide — no max() scan needed
-            packed = pack_to_u16(packed)
+        cap = packed.shape[2]
+        if B * L <= 1 << 16 and self.device_reconstruct:
+            # transfer diet stage 3: ship the flat valid-code stream (R
+            # uint16) + counts; the padded layout is rebuilt on device.
+            # Real codes are <= B*L - 2 (span cap is L-1), so the 0xFFFF
+            # sentinel never collides.
+            packed = pack_flat_u16(packed, counts)
 
         small = _narrow_dtype(int(max_coverage))
 
@@ -370,7 +381,7 @@ class BlockedWindowedMcpSolver(Solver):
             xwin = _cross_window_offsets(start, end, win, W, B, L)
             bits, n_selected, _rounds = _blocked_pipeline_mask(
                 jnp.asarray(packed),
-                jnp.asarray(counts),
+                jnp.asarray(np.ascontiguousarray(counts)),
                 None,
                 W,
                 B,
@@ -381,6 +392,7 @@ class BlockedWindowedMcpSolver(Solver):
                 static_chunks=static_chunks,
                 max_coverage=int(max_coverage),
                 xwin=jnp.asarray(xwin),
+                cap=cap,
             )
             ph.lap("device dispatch")
             bits_np = np.asarray(bits)
