@@ -55,6 +55,7 @@ def pack_blocked(
     cap_multiple: int = 256,
     use_native: bool = True,
     return_slots: bool = False,
+    cap_floor: int = 0,
 ):
     """Bucket reads into per-(block, window) padded code lists (host side).
 
@@ -87,7 +88,8 @@ def pack_blocked(
     if use_native and start.size:
         try:
             return _pack_blocked_native(
-                start, end, n, W, B, L, cap_multiple, return_slots
+                start, end, n, W, B, L, cap_multiple, return_slots,
+                cap_floor,
             )
         except OSError:  # native lib unavailable: numpy fallback below
             pass
@@ -104,7 +106,7 @@ def pack_blocked(
     g_sorted = group[order]
     counts_flat = np.bincount(g_sorted, minlength=nbw * W).astype(np.int32)
     cap = int(counts_flat.max()) if counts_flat.size else 0
-    cap = max(cap_multiple, -(-cap // cap_multiple) * cap_multiple)
+    cap = max(cap_multiple, cap_floor, -(-cap // cap_multiple) * cap_multiple)
 
     # rank of each read within its group
     group_starts = np.zeros(nbw * W + 1, np.int64)
@@ -124,7 +126,7 @@ def pack_blocked(
 
 
 def _pack_blocked_native(start, end, n, W, B, L, cap_multiple,
-                         return_slots=False):
+                         return_slots=False, cap_floor=0):
     """C counting-sort packing (io/csrc/greedy.cpp gd_pack_blocked) — the
     numpy argsort path costs minutes at 10M+ reads on slow-fault VMs.
 
@@ -158,7 +160,7 @@ def _pack_blocked_native(start, end, n, W, B, L, cap_multiple,
     rc = lib.gd_pack_blocked(
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        s.shape[0], n, W, B, L, cap_multiple, 8,
+        s.shape[0], n, W, B, L, max(cap_multiple, cap_floor), 8,
         ctypes.byref(p_packed), ctypes.byref(p_counts),
         ctypes.byref(win), ctypes.byref(cap),
         ctypes.byref(p_slots) if return_slots else None,

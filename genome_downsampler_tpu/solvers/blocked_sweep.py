@@ -348,9 +348,14 @@ class BlockedWindowedMcpSolver(Solver):
         end = np.asarray(batch.end, np.int64)
         span_max = int((end - start).max()) + 1 if len(start) else 1
         W, B, L, chunk = self._geometry(n, span_max)
+        # cap rides the jit key; a fixed floor keeps it stable across
+        # nonce'd datasets at a given scale so XLA/relay compile caches hit
+        # (the padding lives only in device HBM — the H2D stream is flat)
+        cap_floor = 2 * chunk if self.device_reconstruct else 0
         res = pack_blocked(
             start, end, n, W, B, L,
             cap_multiple=chunk, return_slots=self.device_reconstruct,
+            cap_floor=cap_floor,
         )
         if self.device_reconstruct:
             packed, counts, win, n_pad, slots = res
