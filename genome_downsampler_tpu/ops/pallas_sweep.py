@@ -53,7 +53,7 @@ def _lane_cumsum(x: jax.Array, L: int) -> jax.Array:
 
 
 def _sweep_kernel(
-    rows_ref,      # int32[B, L] VMEM — histogram rows for this block
+    rows_ref,      # int32[B, L] VMEM — SUFFIX histogram rows (see caller)
     target_ref,    # int32[1, B] SMEM — scalar reads at dynamic lane index
     avail0_ref,    # int32[1, L] VMEM — carry-in (window relaxation)
     selend0_ref,   # int32[1, L] VMEM
@@ -79,33 +79,35 @@ def _sweep_kernel(
     ).astype(jnp.int32)
 
     def body(i, carry):
-        # state rides the loop carry (vector registers), not scratch —
-        # avoids a VMEM store/load round trip on the critical chain
-        avail_in, selend = carry
-        avail = avail_in + rows_ref[pl.ds(i, 1), :]
-        cur = jnp.sum(selend)
+        # Suffix-state take-split (see ops/pallas_blocked.py for the
+        # derivation): F[k] = stock at end-slots >= k; arrival rows come
+        # pre-suffix-summed, the farthest-first take needs no scan, and
+        # the state rides the loop carry (vector registers).
+        F_in, selend, cur = carry
+        F = F_in + rows_ref[pl.ds(i, 1), :]
+        G = pltpu.roll(F, L - 1, 1) * zero_last
+        avail = F - G
         deficit = target_ref[0, i] - cur
-
-        def with_take():
-            csum = _lane_cumsum(avail, L)
-            total = csum[0, L - 1]
-            take = jnp.clip(deficit - (total - csum), 0, avail)
-            return avail - take, selend + take
-
-        # the take-split (the expensive log-scan) only runs on deficit
-        avail2, selend2 = jax.lax.cond(
-            deficit > 0, with_take, lambda: (avail, selend)
-        )
-        out_ref[0, i] = selend2[0, 0]
-        # shift left: slot k at position p becomes slot k-1 at p+1
+        take = jnp.clip(deficit - G, 0, avail)
+        taken = jnp.minimum(jnp.maximum(deficit, 0), F[0, 0])
+        F2 = F - jnp.minimum(taken, F)
+        selend2 = selend + take
+        emitted = selend2[0, 0]
+        out_ref[0, i] = emitted
         return (
-            pltpu.roll(avail2, L - 1, 1) * zero_last,
+            pltpu.roll(F2, L - 1, 1) * zero_last,
             pltpu.roll(selend2, L - 1, 1) * zero_last,
+            cur + taken - emitted,
         )
 
-    avail_f, selend_f = jax.lax.fori_loop(
-        0, block, body, (avail_s[0:1, :], selend_s[0:1, :])
+    # carry interface stays avail-shaped; convert to/from suffix per pass
+    pref0 = _lane_cumsum(avail_s[0:1, :], L)
+    F0 = pref0[:, L - 1 : L] - pref0 + avail_s[0:1, :]
+    cur0 = jnp.sum(selend_s[0:1, :])
+    F_f, selend_f, _ = jax.lax.fori_loop(
+        0, block, body, (F0, selend_s[0:1, :], cur0)
     )
+    avail_f = F_f - pltpu.roll(F_f, L - 1, 1) * zero_last
     avail_s[:] = avail_f
     selend_s[:] = selend_f
 
@@ -135,6 +137,10 @@ def pallas_sweep_counts(
     assert L == max_span
     assert n % block == 0, f"n={n} must be a multiple of block={block}"
     nb = n // block
+
+    # suffix-sum the arrival rows once (fused into the surrounding jit):
+    # the kernel's state is the suffix form (see _sweep_kernel)
+    rows = jnp.cumsum(rows[:, ::-1], axis=1)[:, ::-1]
 
     out, availf, selendf = pl.pallas_call(
         functools.partial(_sweep_kernel, block=block),

@@ -45,8 +45,10 @@ def main():
         for a in sys.argv[2:]
     ] or [(8, None), (16, None), (32, None)]
     n_reads = int(reads_m * 1e6)
-    n = int(n_reads * 2.5)  # ~60x at 150bp
-    m, read_len, block, L = 30, 150, 256, 256
+    cov = float(os.environ.get("GD_COV", 60))
+    m = int(os.environ.get("GD_M", 30))
+    n = int(n_reads * 150 / cov)
+    read_len, block, L = 150, 256, 256
 
     rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
     t0 = time.perf_counter()
@@ -138,7 +140,10 @@ def main():
         print(f"  pass steady: {pass_t*1000:.0f}ms = {ns_step:.0f} ns/step "
               f"({win} steps)", flush=True)
 
-        for seed_blocks, tag in ((0, "zero-seeded"), (8, "seeded")):
+        seed_list = [int(x) for x in os.environ.get(
+            "GD_SEEDS", "0,8").split(",")]
+        for seed_blocks in seed_list:
+            tag = f"seed{seed_blocks}"
             t0 = time.perf_counter()
             sel, rounds = blocked_windowed_sweep(
                 packed_d, counts_d, target_d, W, B, L, chunk=capm,

@@ -290,3 +290,74 @@ def test_uint16_code_path_bit_equal_to_int32():
     np.testing.assert_array_equal(ce, ref_counts)
     oracle = GreedyMcpSolver().solve(3, batch)
     assert len(sel) == len(oracle)
+
+
+def test_mask_kernel_cross_validates_argsort_engine():
+    """The MXU reconstruction kernel and the (non-production) argsort
+    engine are independent implementations of the same bucket rule; they
+    must agree bit-for-bit."""
+    import jax.numpy as jnp
+
+    from genome_downsampler_tpu.ops.pallas_blocked import (
+        blocked_selection_pass,
+        blocked_windowed_sweep,
+    )
+    from genome_downsampler_tpu.solvers.blocked_sweep import (
+        _cross_window_offsets,
+        _selection_mask,
+    )
+
+    rng = np.random.default_rng(21)
+    batch = rand_reads_uniform(rng, 1800, 2500, 60)
+    start = np.asarray(batch.start, np.int64)
+    end = np.asarray(batch.end, np.int64)
+    W, B, L, chunk = 4, 64, 64, 64
+    packed, counts, win, n_pad = pack_blocked(
+        start, end, 2500, W, B, L, chunk
+    )
+    p32 = jnp.asarray(np.ascontiguousarray(packed))
+    cts = jnp.asarray(np.ascontiguousarray(counts))
+    sel, _ = blocked_windowed_sweep(
+        p32, cts, None, W, B, L, chunk, True,
+        auto_target=True, max_coverage=6,
+    )
+    xw = jnp.asarray(_cross_window_offsets(start, end, win, W, B, L))
+    selbytes = np.asarray(
+        blocked_selection_pass(p32, cts, sel, xw, W, B, L, chunk, True)
+    ).reshape(-1)
+    bits_ref, n_ref = _selection_mask(p32, sel, W, B, L, win)
+    ref_bytes = np.unpackbits(
+        np.asarray(bits_ref), bitorder="little"
+    )[: selbytes.shape[0]]
+    np.testing.assert_array_equal(selbytes, ref_bytes)
+    assert int(selbytes.sum()) == int(n_ref)
+
+
+def test_fast_bam_writer_roundtrip():
+    """write_test_bam_fast produces files the native reader parses with
+    identical content to the slow per-record writer."""
+    import tempfile
+
+    from genome_downsampler_tpu.config import BamApiConfig
+    from genome_downsampler_tpu.io.bam import read_bam
+    from genome_downsampler_tpu.testing.bam_writer import (
+        write_test_bam,
+        write_test_bam_fast,
+    )
+
+    rng = np.random.default_rng(6)
+    batch = rand_reads_uniform(rng, 4000, 50_000, 150)
+    cfg = BamApiConfig(min_mapq=0, min_seq_length=0)
+    with tempfile.TemporaryDirectory() as d:
+        write_test_bam_fast(f"{d}/fast.bam", batch)
+        write_test_bam(f"{d}/slow.bam", batch, coordinate_sorted=True)
+        fast, _, _ = read_bam(f"{d}/fast.bam", cfg)
+        slow, _, _ = read_bam(f"{d}/slow.bam", cfg)
+        assert fast.n_reads == slow.n_reads == batch.n_reads
+
+        def key(b):
+            return sorted(
+                zip(b.start.tolist(), b.end.tolist(), b.quality.tolist())
+            )
+
+        assert key(fast) == key(slow)
