@@ -43,7 +43,7 @@ import numpy as np
 N = 250_000_000
 READ_LEN = 150
 M = 30
-W, B, L, CAP = 8, 256, 256, 256
+W, B, L, CAP = 64, 128, 256, 128
 WEYL = np.uint32(2654435761)
 WEYL_Q = np.uint32(2246822519)
 
