@@ -350,7 +350,21 @@ def _config4_bam_detail(use_device: bool) -> dict:
         host_reads_per_s=round(C4_READS / host_total),
     )
     if use_device:
+        from genome_downsampler_tpu.io.bam import BamReader
+
         dev_solver = McpDeviceSweepSolver()
+        # warm the jit on a same-shape nonce'd batch (one read's span
+        # perturbed: identical static shapes, different data, so the relay
+        # memoization cannot fake the timed run) — XLA compiles of this
+        # geometry otherwise land inside the timed solve phase
+        t0 = time.perf_counter()
+        wb = BamReader(bam_in, config).get_batch()
+        wb.end[0] = max(int(wb.start[0]), int(wb.end[0]) - 1)
+        _ = dev_solver.solve(C4_M, wb)
+        out["device_warmup_incl_compile_s"] = round(
+            time.perf_counter() - t0, 2
+        )
+        del wb
         dev_total, dev_phases = _bam_to_bam(
             bam_in, "/tmp/gd_bench_c4_dev.bam", dev_solver, C4_M, config,
         )
