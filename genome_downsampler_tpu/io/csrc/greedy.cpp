@@ -408,7 +408,8 @@ PackArenas& pack_bufs() {
 // NOT free'd by the caller.
 extern "C" int64_t gd_pack_blocked(
     const int64_t* start, const int64_t* end, int64_t R, int64_t n,
-    int64_t W, int64_t B, int64_t L, int64_t cap_multiple, int64_t threads,
+    int64_t W, int64_t B, int64_t L, int64_t cap_multiple,
+    int64_t cap_floor, int64_t threads,
     int32_t** out_packed, int32_t** out_counts,
     int64_t* out_win, int64_t* out_cap, int64_t** out_slots) {
     *out_packed = nullptr;
@@ -451,9 +452,12 @@ extern "C" int64_t gd_pack_blocked(
     }
     int64_t maxc = 0;
     for (int64_t g = 0; g < groups; ++g) maxc = std::max<int64_t>(maxc, counts[g]);
-    int64_t cap = std::max<int64_t>(cap_multiple,
-                                    (maxc + cap_multiple - 1) / cap_multiple *
-                                        cap_multiple);
+    // cap = max(floor, round_to_multiple(maxc, cap_multiple)) — kept
+    // IDENTICAL to the numpy fallback in ops/pallas_blocked.pack_blocked so
+    // both paths produce the same packed shape (same jit cache key)
+    int64_t cap = std::max<int64_t>(
+        std::max<int64_t>(cap_multiple, cap_floor),
+        (maxc + cap_multiple - 1) / cap_multiple * cap_multiple);
 
     int32_t* packed = P.packed.get(std::max<int64_t>(groups * cap, 1));
     int64_t* slots =

@@ -344,7 +344,6 @@ struct ConvexSSP {
     explicit ConvexSSP(ConvexCostScaling& s) : g(s) {}
 
     std::vector<int64_t> pi, dist;
-    std::vector<int32_t> parent;  // adjacency entry x leading into node
     // generation stamps instead of per-augmentation O(N) clears: an entry
     // is valid only when its stamp equals the current generation
     std::vector<int32_t> dist_gen, done_gen;
@@ -387,72 +386,107 @@ struct ConvexSSP {
         return lo - f;
     }
 
-    // One augmentation along a REVERSE-Dijkstra parent path from `src`
-    // toward its deficit (parents point sink-ward), re-validating every
-    // arc against the post-update potentials and current marginals.
-    // Returns units moved (0 = stale; the source waits for next phase).
-    int64_t try_augment_fwdwalk(int32_t src) {
-        int64_t delta = g.excess[src];
-        if (delta <= 0) return 0;
-        int32_t v = src;
-        while (parent[v] != -1) {
-            int32_t x = parent[v];  // arc LEAVING v on the shortest path
-            int64_t r = run_at_marginal(x);
-            if (r <= 0) return 0;
-            int32_t w = g.to_of(x);
-            if (g.marg_of(x) + pi[v] - pi[w] > 0) return 0;
-            delta = std::min(delta, r);
-            v = w;
-        }
-        if (g.excess[v] >= 0) return 0;  // sink already filled this phase
-        delta = std::min(delta, -g.excess[v]);
-        if (delta <= 0) return 0;
-        int32_t sink = v;
-        v = src;
-        while (parent[v] != -1) {
-            int32_t x = parent[v];
-            int32_t a = x >> 1;
-            g.flow[a] += g.is_fwd(x) ? delta : -delta;
-            v = g.to_of(x);
-        }
-        g.excess[src] -= delta;
-        g.excess[sink] += delta;
-        return delta;
+    // --- primal-dual blocking-flow routing -------------------------------
+    // After the potential update every supply->deficit shortest path is a
+    // zero-reduced-cost corridor, and cost ties make that corridor a rich
+    // subgraph (at production scale each cost class holds ~1e5 reads). The
+    // r4 engine walked ONE path along the static Dijkstra parent forest and
+    // gave up at the first changed marginal — measured: phases ==
+    // augmentations == total supply, i.e. one full-line Dijkstra per unit
+    // of flow (the VERDICT r4 #6 profile). This DFS instead routes a
+    // blocking flow over the admissible subgraph (next-unit reduced
+    // marginal == 0) with current-arc pointers, dead-node marking and
+    // truncate-to-first-saturated-arc, so one Dijkstra serves as many units
+    // as the corridor admits; the phase count becomes the number of
+    // distinct shortest-path cost levels (measured: 50 phases -> ~3).
+    //
+    // Pushing only on rc == 0 arcs preserves the SSP invariant (the new
+    // reverse unit has rc == 0, the next forward unit rc >= 0 by convexity),
+    // so every routed unit rides a true shortest path and the flow stays
+    // optimal for its value — the classical primal-dual argument.
+    std::vector<int32_t> cur2;        // per-node current-arc pointer
+    std::vector<uint8_t> dead_, onpath_;
+    std::vector<int32_t> pstack_, nstack_;
+
+    inline bool admissible_from(int32_t u, int32_t x) const {
+        if (g.resid_of(x) <= 0) return false;
+        return g.marg_of(x) + pi[u] - pi[g.to_of(x)] == 0;
     }
 
-    // One augmentation along the forward-Dijkstra parent forest from
-    // `sink` back to its source, re-validated likewise.
-    int64_t try_augment(int32_t sink) {
-        int64_t delta = -g.excess[sink];
-        if (delta <= 0) return 0;
-        int32_t v = sink;
-        int32_t src = sink;
-        while (parent[v] != -1) {
-            int32_t x = parent[v];
-            int64_t r = run_at_marginal(x);
-            if (r <= 0) return 0;  // run exhausted by an earlier path
-            int32_t u = g.is_fwd(x) ? g.tail[x >> 1] : g.head[x >> 1];
-            // still a shortest-path arc? (rc == 0 under updated pi;
-            // accept <= 0 so the pre-existing negative-clamp noise can
-            // never starve a phase — the first path of a phase is always
-            // fresh, so every phase routes >= 1 unit and terminates)
-            if (g.marg_of(x) + pi[u] - pi[v] > 0) return 0;
-            delta = std::min(delta, r);
-            v = u;
-            src = v;
+    int64_t route_admissible() {
+        const int32_t N = g.N;
+        cur2.assign(N, -2);  // -2 = uninitialised (lazy adj_first)
+        dead_.assign(N, 0);
+        onpath_.assign(N, 0);
+        int64_t routed = 0;
+        for (int32_t s = 0; s < N; ++s) {
+            if (g.excess[s] <= 0 || dead_[s]) continue;
+            pstack_.clear();
+            nstack_.clear();
+            onpath_[s] = 1;
+            int32_t v = s;
+            while (true) {
+                if (g.excess[v] < 0) {
+                    // push along the stack; delta = min(endpoint excesses,
+                    // equal-marginal runs along the path)
+                    int64_t delta =
+                        std::min(g.excess[s], -g.excess[v]);
+                    for (int32_t x : pstack_)
+                        delta = std::min(delta, run_at_marginal(x));
+                    for (int32_t x : pstack_)
+                        g.flow[x >> 1] += (x & 1) ? -delta : delta;
+                    g.excess[s] -= delta;
+                    g.excess[v] += delta;
+                    routed += delta;
+                    if (g.excess[s] == 0) {
+                        for (int32_t u : nstack_) onpath_[u] = 0;
+                        onpath_[s] = 0;
+                        break;  // next supply
+                    }
+                    // truncate to the first arc the push made inadmissible
+                    size_t k = 0;
+                    int32_t u = s;
+                    while (k < pstack_.size() &&
+                           admissible_from(u, pstack_[k])) {
+                        u = nstack_[k];
+                        ++k;
+                    }
+                    for (size_t i = k; i < nstack_.size(); ++i)
+                        onpath_[nstack_[i]] = 0;
+                    pstack_.resize(k);
+                    nstack_.resize(k);
+                    v = u;
+                    continue;
+                }
+                if (cur2[v] == -2) cur2[v] = g.adj_first[v];
+                int32_t x = cur2[v];
+                while (x != -1) {
+                    int32_t w = g.to_of(x);
+                    if (!dead_[w] && !onpath_[w] && admissible_from(v, x))
+                        break;
+                    x = g.adj_next[x];
+                }
+                cur2[v] = x;
+                if (x == -1) {
+                    dead_[v] = 1;
+                    if (v == s) {
+                        onpath_[s] = 0;
+                        break;  // supply exhausted its corridor
+                    }
+                    onpath_[v] = 0;
+                    pstack_.pop_back();
+                    nstack_.pop_back();
+                    v = nstack_.empty() ? s : nstack_.back();
+                } else {
+                    int32_t w = g.to_of(x);
+                    pstack_.push_back(x);
+                    nstack_.push_back(w);
+                    onpath_[w] = 1;
+                    v = w;
+                }
+            }
         }
-        delta = std::min(delta, g.excess[src]);
-        if (delta <= 0) return 0;
-        v = sink;
-        while (parent[v] != -1) {
-            int32_t x = parent[v];
-            int32_t a = x >> 1;
-            g.flow[a] += g.is_fwd(x) ? delta : -delta;
-            v = g.is_fwd(x) ? g.tail[a] : g.head[a];
-        }
-        g.excess[src] -= delta;
-        g.excess[sink] += delta;
-        return delta;
+        return routed;
     }
 
     bool run() {
@@ -467,7 +501,6 @@ struct ConvexSSP {
 
         using QE = std::pair<int64_t, int32_t>;
         dist.assign(N, INF64);
-        parent.assign(N, -1);
         dist_gen.assign(N, -1);
         done_gen.assign(N, -1);
         auto dist_of = [&](int32_t u) {
@@ -498,19 +531,13 @@ struct ConvexSSP {
                 n_def += g.excess[u] < 0;
             }
             if (n_exc >= n_def) {
-                // --- reverse phase: roots at deficits, route per-source
+                // --- reverse phase: roots at deficits (the smaller side)
                 std::priority_queue<QE, std::vector<QE>, std::greater<QE>>
                     pq;
                 for (int32_t u = 0; u < N; ++u)
                     if (g.excess[u] < 0) {
                         dist[u] = 0;
                         dist_gen[u] = gen;
-                        // clear the stale pointer from earlier phases: the
-                        // augmentation walk stops at parent == -1, so a
-                        // root carrying an old chain would be walked PAST
-                        // the root — stale pointers can even cycle, looping
-                        // the walk forever (and corrupting flows)
-                        parent[u] = -1;
                         pq.push({0, u});
                     }
                 settled.clear();
@@ -536,7 +563,6 @@ struct ConvexSSP {
                         if (nd < dist_of(v)) {
                             dist[v] = nd;
                             dist_gen[v] = gen;
-                            parent[v] = xr;
                             // nd == d settles heap-free at this level
                             if (nd == d) zstack.push_back(v);
                             else pq.push({nd, v});
@@ -561,92 +587,78 @@ struct ConvexSSP {
                 const int64_t D = sinks.back().first;
                 for (int32_t u : settled)
                     pi[u] += D - std::min(dist[u], D);
-                for (auto& [d_src, src] : sinks) {
-                    while (g.excess[src] > 0) {
-                        int64_t moved = try_augment_fwdwalk(src);
-                        if (moved <= 0) break;
-                        n_aug++;
-                        excess_total -= moved;
+            } else {
+                // --- forward phase: roots at supplies ---------------------
+                std::priority_queue<QE, std::vector<QE>, std::greater<QE>>
+                    pq;
+                for (int32_t u = 0; u < N; ++u)
+                    if (g.excess[u] > 0) {
+                        dist[u] = 0;
+                        dist_gen[u] = gen;
+                        pq.push({0, u});
                     }
-                    if (excess_total == 0) break;
-                }
-                continue;
-            }
-            // --- forward phase: roots at supplies, route per-deficit ----
-            std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
-            for (int32_t u = 0; u < N; ++u)
-                if (g.excess[u] > 0) {
-                    dist[u] = 0;
-                    dist_gen[u] = gen;
-                    parent[u] = -1;  // see reverse phase: stale-root guard
-                    pq.push({0, u});
-                }
-            settled.clear();
-            sinks.clear();
-            zstack.clear();
-            int64_t deficit_found = 0;
-            const int64_t want = excess_total;
-            auto settle_fwd = [&](int64_t d, int32_t u) -> bool {
-                done_gen[u] = gen;
-                settled.push_back(u);
-                if (g.excess[u] < 0) {
-                    sinks.push_back({d, u});
-                    deficit_found -= g.excess[u];
-                    // enough deficit endpoints to absorb all excess: the
-                    // rest of the line cannot shorten any found path
-                    if (deficit_found >= want) return true;
-                }
-                for (int32_t x = g.adj_first[u]; x != -1; x = g.adj_next[x]) {
-                    if (g.resid_of(x) <= 0) continue;
-                    int32_t v = g.to_of(x);
-                    if (done_gen[v] == gen) continue;
-                    int64_t rc = g.marg_of(x) + pi[u] - pi[v];
-                    // rc >= 0 modulo clamping noise; guard for safety
-                    int64_t nd = d + (rc > 0 ? rc : 0);
-                    if (nd < dist_of(v)) {
-                        dist[v] = nd;
-                        dist_gen[v] = gen;
-                        parent[v] = x;
-                        if (nd == d) zstack.push_back(v);
-                        else pq.push({nd, v});
+                settled.clear();
+                sinks.clear();
+                zstack.clear();
+                int64_t deficit_found = 0;
+                const int64_t want = excess_total;
+                auto settle_fwd = [&](int64_t d, int32_t u) -> bool {
+                    done_gen[u] = gen;
+                    settled.push_back(u);
+                    if (g.excess[u] < 0) {
+                        sinks.push_back({d, u});
+                        deficit_found -= g.excess[u];
+                        // enough deficit endpoints to absorb all excess:
+                        // the rest of the line cannot shorten a found path
+                        if (deficit_found >= want) return true;
+                    }
+                    for (int32_t x = g.adj_first[u]; x != -1;
+                         x = g.adj_next[x]) {
+                        if (g.resid_of(x) <= 0) continue;
+                        int32_t v = g.to_of(x);
+                        if (done_gen[v] == gen) continue;
+                        int64_t rc = g.marg_of(x) + pi[u] - pi[v];
+                        // rc >= 0 modulo clamping noise; guard for safety
+                        int64_t nd = d + (rc > 0 ? rc : 0);
+                        if (nd < dist_of(v)) {
+                            dist[v] = nd;
+                            dist_gen[v] = gen;
+                            if (nd == d) zstack.push_back(v);
+                            else pq.push({nd, v});
+                        }
+                    }
+                    return false;
+                };
+                bool stop = false;
+                while (!pq.empty() && !stop) {
+                    auto [d, u] = pq.top();
+                    pq.pop();
+                    if (done_gen[u] == gen) continue;
+                    stop = settle_fwd(d, u);
+                    while (!zstack.empty() && !stop) {
+                        int32_t v = zstack.back();
+                        zstack.pop_back();
+                        if (done_gen[v] == gen) continue;
+                        stop = settle_fwd(d, v);
                     }
                 }
-                return false;
-            };
-            bool stop = false;
-            while (!pq.empty() && !stop) {
-                auto [d, u] = pq.top();
-                pq.pop();
-                if (done_gen[u] == gen) continue;
-                stop = settle_fwd(d, u);
-                while (!zstack.empty() && !stop) {
-                    int32_t v = zstack.back();
-                    zstack.pop_back();
-                    if (done_gen[v] == gen) continue;
-                    stop = settle_fwd(d, v);
-                }
+                if (sinks.empty()) return false;  // no augmenting path
+                // potentials: pi[u] += dist[u] - D for settled nodes, where
+                // D is the LAST settled distance (every found sink then has
+                // an rc == 0 corridor; unsettled nodes keep pi, consistent
+                // because their dist >= D). The constant D cancels in
+                // reduced-cost differences.
+                const int64_t D = sinks.back().first;
+                for (int32_t u : settled)
+                    pi[u] += std::min(dist[u], D) - D;
             }
-            if (sinks.empty()) return false;  // no augmenting path
-            // potentials: pi[u] += dist[u] - D for settled nodes, where D
-            // is the LAST settled distance (every found sink then has
-            // rc == 0 along its parent path; unsettled nodes keep pi,
-            // consistent because their dist >= D). The constant D cancels
-            // in reduced-cost differences.
-            const int64_t D = sinks.back().first;
-            for (int32_t u : settled)
-                pi[u] += std::min(dist[u], D) - D;
-
-            // route deficits nearest-first; re-validation keeps every
-            // augmentation on a true shortest path
-            for (auto& [d_sink, sink] : sinks) {
-                while (g.excess[sink] < 0) {
-                    int64_t moved = try_augment(sink);
-                    if (moved <= 0) break;
-                    n_aug++;
-                    excess_total -= moved;
-                }
-                if (excess_total == 0) break;
-            }
+            // blocking-flow routing over the zero-rc corridor (direction-
+            // independent: admissibility is symmetric under the updated pi)
+            int64_t moved = route_admissible();
+            if (moved <= 0) return false;  // should be impossible: the
+            // first DFS walk precedes any push and the corridor is fresh
+            n_aug += moved;
+            excess_total -= moved;
         }
         if (stats) {
             double ms = std::chrono::duration<double, std::milli>(

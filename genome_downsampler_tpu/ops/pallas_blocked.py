@@ -45,6 +45,28 @@ from jax.experimental.pallas import tpu as pltpu
 from genome_downsampler_tpu.ops.pallas_sweep import _lane_cumsum
 
 
+_ARENA_GEN = 0
+
+
+def arena_generation() -> int:
+    """Monotone counter of native-arena pack calls.
+
+    ``pack_blocked`` / ``pack_flat_u16`` / ``pack_to_u16`` return ZERO-COPY
+    views of shared process-lifetime C arenas; any later pack call silently
+    repurposes that memory. Consumers that hold a view across other work
+    (e.g. ``slots`` held for the whole device dispatch and only consumed by
+    ``mask_select`` at the end of a solve) snapshot this counter when the
+    view is created and assert it is unchanged when the view is consumed,
+    so stale-view reuse fails loudly instead of corrupting the selection.
+    """
+    return _ARENA_GEN
+
+
+def _bump_arena_gen():
+    global _ARENA_GEN
+    _ARENA_GEN += 1
+
+
 def pack_blocked(
     start: np.ndarray,
     end: np.ndarray,
@@ -144,7 +166,7 @@ def _pack_blocked_native(start, end, n, W, B, L, cap_multiple,
     lib.gd_pack_blocked.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -160,13 +182,14 @@ def _pack_blocked_native(start, end, n, W, B, L, cap_multiple,
     rc = lib.gd_pack_blocked(
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        s.shape[0], n, W, B, L, max(cap_multiple, cap_floor), 8,
+        s.shape[0], n, W, B, L, cap_multiple, cap_floor, 8,
         ctypes.byref(p_packed), ctypes.byref(p_counts),
         ctypes.byref(win), ctypes.byref(cap),
         ctypes.byref(p_slots) if return_slots else None,
     )
     if rc != 0:
         raise ValueError("gd_pack_blocked: invalid reads (span/start bounds)")
+    _bump_arena_gen()
     nbw = win.value // B
     packed = np.ctypeslib.as_array(p_packed, shape=(nbw, W, cap.value))
     counts = np.ctypeslib.as_array(p_counts, shape=(nbw, W))
@@ -210,6 +233,7 @@ def pack_flat_u16(packed: np.ndarray, counts: np.ndarray) -> np.ndarray:
         ct.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         groups, cap, ctypes.byref(p16),
     )
+    _bump_arena_gen()
     return np.ctypeslib.as_array(p16, shape=(int(total),))
 
 
@@ -257,6 +281,7 @@ def pack_to_u16(packed: np.ndarray) -> np.ndarray:
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         flat.shape[0], ctypes.byref(p16),
     )
+    _bump_arena_gen()
     return np.ctypeslib.as_array(p16, shape=packed.shape)
 
 

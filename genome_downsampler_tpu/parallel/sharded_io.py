@@ -419,8 +419,18 @@ def _run_sharded_qmcp(
     M)) per rank instead of r3's O(total_reads) 6-tuples. The bucket-level
     MCMF runs identically on every rank; each rank expands ONLY its own
     buckets' flows back to concrete reads (voffsets never leave the rank).
-    Bit-equal to a single-process ``qmcp-cpu`` run: bucket order, pool
-    order and tie-breaks reproduce the whole-file import exactly."""
+
+    Exactness contract: OBJECTIVE-exact vs a single-process ``qmcp-cpu``
+    run (same optimal cost — pool truncation preserves the optimum because
+    positive unit costs mean no optimum flows more than M through one
+    bucket). The selected READ SET additionally matches in practice —
+    bucket order, pool order and tie-breaks reproduce the whole-file
+    import — but when equal-cost ties span *different buckets* the MCMF
+    optimum is non-unique and the truncated network may admit a different
+    equally-optimal flow vector, so read-set equality is not guaranteed in
+    the adversarial-tie case (see
+    ``tests/test_sharded_qmcp.py::test_truncation_objective_exact_on_ties``).
+    """
     import jax
 
     from genome_downsampler_tpu.solvers.device_mcmf import (
@@ -461,8 +471,19 @@ def _run_sharded_qmcp(
 
     # 2 int64 columns per bucket: start, and (span << 20 | kept-units) —
     # keeps the worst-case (all-distinct spans) per-rank gather under 60%
-    # of the r3 replicated 6-tuple footprint even before truncation helps
-    packed_meta = ((be - bs + 1) << 20) | keepn.astype(np.int64)
+    # of the r3 replicated 6-tuple footprint even before truncation helps.
+    # Bit budget: keepn needs 20 bits, span the remaining 43 — validated
+    # here because a silent overflow would corrupt spans/pool offsets on
+    # the gathering ranks.
+    if int(max_coverage) >= 1 << 20:
+        raise ValueError(
+            f"sharded qmcp: max_coverage {max_coverage} >= 2^20 overflows "
+            "the packed bucket metadata; use single-process mode"
+        )
+    span_all = be - bs + 1
+    if len(span_all) and int(span_all.max()) >= 1 << 42:
+        raise ValueError("sharded qmcp: bucket span overflows metadata")
+    packed_meta = (span_all << 20) | keepn.astype(np.int64)
     meta = np.concatenate(
         [np.array([nb], np.int64), bs, packed_meta]
     ).reshape(1, -1)

@@ -21,6 +21,7 @@ import numpy as np
 
 from genome_downsampler_tpu.core.readbatch import ReadBatch
 from genome_downsampler_tpu.ops.pallas_blocked import (
+    arena_generation,
     blocked_selection_pass,
     blocked_windowed_sweep,
     expand_flat_codes,
@@ -334,7 +335,13 @@ class BlockedWindowedMcpSolver(Solver):
             W = 8
             while W < 64 and n // (2 * W) >= 8 * 256:
                 W *= 2
-        B = self.block or (128 if W * 256 * L * 4 > 12 * 2**20 else 256)
+        # the reconstruction pass tiles its halo in B-sized steps and needs
+        # L % B == 0; L is always a 128-multiple, so B=128 is always legal
+        # but B=256 is only legal when the (possibly span-upgraded) L is a
+        # 256-multiple
+        B = self.block or (
+            128 if (W * 256 * L * 4 > 12 * 2**20 or L % 256 != 0) else 256
+        )
         chunk = self.chunk or (128 if B <= 128 else 256)
         return W, B, L, chunk
 
@@ -376,6 +383,12 @@ class BlockedWindowedMcpSolver(Solver):
             # Real codes are <= B*L - 2 (span cap is L-1), so the 0xFFFF
             # sentinel never collides.
             packed = pack_flat_u16(packed, counts)
+        # `slots` (and the packed/counts views) are zero-copy C-arena views:
+        # snapshot the generation now and verify it before consuming slots
+        # at the end of the solve, so any interleaved pack call (a second
+        # solver instance, an overlapping warmup) fails loudly instead of
+        # silently corrupting the selection
+        arena_gen0 = arena_generation()
 
         small = _narrow_dtype(int(max_coverage))
 
@@ -406,6 +419,11 @@ class BlockedWindowedMcpSolver(Solver):
                 "rounds": int(_rounds), "n_windows": W, "block": B,
                 "positions_per_pass": win,
             }
+            if arena_generation() != arena_gen0:
+                raise RuntimeError(
+                    "native pack arenas were overwritten mid-solve "
+                    "(interleaved pack call); slots view is stale"
+                )
             out = mask_select(bits_np, slots)
             ph.lap("bit test")
             if len(out) != int(n_selected):

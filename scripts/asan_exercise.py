@@ -67,7 +67,7 @@ def main():
         e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(len(s)), ctypes.c_int64(30_000), ctypes.c_int64(8),
         ctypes.c_int64(256), ctypes.c_int64(256), ctypes.c_int64(256),
-        ctypes.c_int64(4),
+        ctypes.c_int64(0), ctypes.c_int64(4),
         ctypes.byref(p_packed), ctypes.byref(p_counts),
         ctypes.byref(win), ctypes.byref(cap),
         ctypes.byref(p_slots),

@@ -361,3 +361,52 @@ def test_fast_bam_writer_roundtrip():
             )
 
         assert key(fast) == key(slow)
+
+
+def test_geometry_span_upgrade_keeps_halo_tiling():
+    """ADVICE r4 (high): a span >= max_span upgrades L (e.g. 256 -> 384),
+    and the reconstruction pass asserts L % B == 0 — geometry must drop to
+    B=128 whenever the upgraded L is not a 256-multiple."""
+    from genome_downsampler_tpu.solvers.blocked_sweep import (
+        BlockedWindowedMcpSolver,
+    )
+
+    s = BlockedWindowedMcpSolver()
+    for n in (8_192, 100_000, 4_000_000, 60_000_000):
+        for span_max in (100, 255, 256, 300, 512, 513, 640):
+            W, B, L, chunk = s._geometry(n, span_max)
+            assert L % B == 0, (n, span_max, W, B, L)
+            if span_max >= 256:
+                assert span_max <= L - 2, (n, span_max, L)
+
+
+def test_blocked_solver_span_at_default_max_span():
+    """End-to-end device_reconstruct solve with one read of span exactly
+    DEFAULT_MAX_SPAN — the r4 crash case (L upgraded to 384 while geometry
+    picked B=256, tripping the halo-tiling assert)."""
+    from genome_downsampler_tpu.core.readbatch import ReadBatch
+    from genome_downsampler_tpu.solvers.blocked_sweep import (
+        BlockedWindowedMcpSolver,
+    )
+    from genome_downsampler_tpu.solvers.greedy_mcp import GreedyMcpSolver
+
+    rng = np.random.default_rng(11)
+    n = 8_192
+    r = 400
+    start = rng.integers(0, n - 700, r)
+    span = rng.integers(30, 200, r)
+    start[0], span[0] = 100, 256  # span == DEFAULT_MAX_SPAN
+    end = start + span - 1
+    batch = ReadBatch.from_reads(
+        [
+            (i, int(start[i]), int(end[i]), 60, int(span[i]), i % 2 == 0)
+            for i in range(r)
+        ],
+        n,
+    )
+    solver = BlockedWindowedMcpSolver(interpret=True)
+    W, B, L, _ = solver._geometry(n, 256)
+    assert L == 384 and B == 128
+    sel = solver.solve(4, batch)
+    oracle = GreedyMcpSolver().solve(4, batch)
+    np.testing.assert_array_equal(sel, oracle)

@@ -229,3 +229,56 @@ def test_two_process_too_small_halo_fails_loudly(tmp_path):
         f"too-small halo did not fail:\n{combined[-3000:]}"
     )
     assert "halo" in combined and "boundary" in combined
+
+
+def test_truncation_objective_exact_on_ties():
+    """ADVICE r4: when equal-cost ties span different buckets the MCMF
+    optimum is non-unique, so pool truncation to min(count, M) guarantees
+    the OBJECTIVE, not the read set. This adversarial fixture makes many
+    overlapping buckets share one cost and asserts the truncated network's
+    optimum cost (and coverage validity) equals the full-pool optimum."""
+    from genome_downsampler_tpu.solvers.device_mcmf import (
+        build_convex_buckets,
+    )
+    from genome_downsampler_tpu.solvers.native_mcmf import mcmf_flows_convex
+
+    rng = np.random.default_rng(99)
+    n, m = 2_000, 5
+    r = 4_000
+    start = rng.integers(0, n - 120, r)
+    end = start + rng.integers(80, 120, r)
+    cost = np.full(r, 7, np.int64)  # every read ties
+    cost[rng.integers(0, r, 50)] = 3  # a few cheaper ones
+
+    bs, be, off, pool, order, _first = build_convex_buckets(start, end, cost)
+    cnts = np.diff(off)
+    full = mcmf_flows_convex(bs, be, off, pool, n, m)
+
+    keepn = np.minimum(cnts, m)
+    rank_in = np.arange(len(pool), dtype=np.int64) - np.repeat(off[:-1], cnts)
+    keep = rank_in < np.repeat(keepn, cnts)
+    toff = np.zeros(len(bs) + 1, np.int64)
+    np.cumsum(keepn, out=toff[1:])
+    trunc = mcmf_flows_convex(bs, be, toff, pool[keep], n, m)
+
+    def objective(flows, o):
+        idx = np.arange(len(pool) if o is off else int(toff[-1]))
+        rk = idx - np.repeat(o[:-1], np.diff(o))
+        taken = rk < np.repeat(flows, np.diff(o))
+        return int((pool if o is off else pool[keep])[taken].sum())
+
+    assert objective(full, off) == objective(trunc, toff)
+
+    # both selections meet the capped-coverage target per base
+    def cov_of(flows):
+        d = np.zeros(n + 1, np.int64)
+        np.add.at(d, bs, flows)
+        np.add.at(d, be + 1, -flows)
+        return np.cumsum(d)[:n]
+
+    d = np.zeros(n + 1, np.int64)
+    np.add.at(d, bs, cnts)
+    np.add.at(d, be + 1, -cnts)
+    tgt = np.minimum(np.cumsum(d)[:n], m)
+    assert (cov_of(full) >= tgt).all()
+    assert (cov_of(trunc) >= tgt).all()
