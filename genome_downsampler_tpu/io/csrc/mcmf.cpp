@@ -407,10 +407,263 @@ struct ConvexSSP {
     std::vector<int32_t> cur2;        // per-node current-arc pointer
     std::vector<uint8_t> dead_, onpath_;
     std::vector<int32_t> pstack_, nstack_;
+    // repair seeds collected while routing: nodes whose shortest-path
+    // support may have died (heads of arcs a push made inadmissible,
+    // supplies whose excess hit zero)
+    std::vector<int32_t> seeds_;
+    std::vector<uint8_t> seeded_;
 
     inline bool admissible_from(int32_t u, int32_t x) const {
         if (g.resid_of(x) <= 0) return false;
         return g.marg_of(x) + pi[u] - pi[g.to_of(x)] == 0;
+    }
+
+    // ---- line-sweep distance engine (default; GD_SSP_DIST=dijkstra
+    // forces the heap engine) ------------------------------------------
+    //
+    // The r4 profile (VERDICT #6): phases == augmentations == supply, one
+    // full-line Dijkstra per unit of flow — 239.7 s at 25M reads. Layer
+    // costs are strictly increasing on real data, so the phase count
+    // cannot drop; the fix is making each phase's distance computation a
+    // flat sequential scan instead of a heap traversal.
+    //
+    // Every residual arc family composes with the always-residual chain
+    // arcs (i+1 -> i, zero cost) into "composite moves" relaxable inside
+    // one directional pass over the line:
+    //   L->R pass (positions ascending, Gauss-Seidel):
+    //     - chain-up residuals (i -> i+1 where chainflow > 0): segmented
+    //       running min of d + pi over positive-chainflow runs;
+    //     - bucket-forward (s -> e+1) and shortcut-reverse (i -> i+st)
+    //       arcs + trailing chain-downs: candidate d[tail] + marg + pi
+    //       valid on (tail, tail+span]; per-span monotone deques (FIFO
+    //       expiry within a span class) under a tournament-min tree.
+    //   R->L pass (descending):
+    //     - chain-downs alone: plain running min of d + pi;
+    //     - bucket-backward refunds (e+1 -> s) + trailing chain-downs:
+    //       running min, candidates anchored at s.
+    // Rounds repeat until a full round improves nothing; the round count
+    // equals the direction-alternation depth of the shortest paths
+    // (measured 2-4), each pass O(n + B) with flat arrays and no heap.
+    std::vector<int64_t> d_;
+    std::vector<int32_t> ins_off_, ins_ids_;  // L->R candidates by position
+    std::vector<int32_t> bkt_off_;            // buckets by tail (ids sorted)
+    std::vector<int32_t> span_class_;
+    std::vector<int64_t> class_span_;
+    int32_t n_classes_ = 0;
+    int32_t B_ = 0;  // bucket-arc count (prefix of g's arc array)
+    struct DqEnt {
+        int64_t v;
+        int64_t p;
+    };
+    std::vector<std::vector<DqEnt>> dq_;
+    std::vector<int32_t> dq_head_;
+    std::vector<int64_t> tval_;  // tournament: node values
+    std::vector<int32_t> targ_;  // tournament: argmin class per node
+    int32_t P_ = 1;
+    int64_t n_sweep_rounds_ = 0;
+
+    void tour_update(int32_t c, int64_t v) {
+        int32_t i = P_ + c;
+        tval_[i] = v;
+        targ_[i] = c;
+        for (i >>= 1; i >= 1; i >>= 1) {
+            int32_t l = 2 * i, r = 2 * i + 1;
+            if (tval_[l] <= tval_[r]) {
+                tval_[i] = tval_[l];
+                targ_[i] = targ_[l];
+            } else {
+                tval_[i] = tval_[r];
+                targ_[i] = targ_[r];
+            }
+        }
+    }
+
+    inline int64_t dq_front_val(int32_t c) const {
+        return dq_head_[c] < (int32_t)dq_[c].size() ? dq_[c][dq_head_[c]].v
+                                                    : INF64;
+    }
+
+    inline void dq_insert(int32_t c, int64_t v, int64_t p) {
+        auto& q = dq_[c];
+        while ((int32_t)q.size() > dq_head_[c] && q.back().v >= v)
+            q.pop_back();
+        bool was_front = (int32_t)q.size() == dq_head_[c];
+        q.push_back({v, p});
+        if (was_front) tour_update(c, v);
+    }
+
+    inline int64_t dq_query(int64_t j) {
+        // global min over class fronts, popping expired fronts lazily
+        // (front = oldest insert within its class -> earliest expiry)
+        while (true) {
+            int64_t v = tval_[1];
+            if (v >= INF64) return INF64;
+            int32_t c = targ_[1];
+            const DqEnt& f = dq_[c][dq_head_[c]];
+            if (f.p + class_span_[c] >= j) return v;
+            dq_head_[c]++;
+            tour_update(c, dq_front_val(c));
+        }
+    }
+
+    bool sweep_init() {
+        const int32_t N = g.N;
+        const int64_t n = N - 1;
+        B_ = 0;
+        while (B_ < g.A && g.cost_off[B_] >= 0) B_++;
+        // span classes over bucket + shortcut arcs
+        constexpr int64_t SWEEP_MAX_SPAN = 1 << 16;
+        int64_t max_span = 0;
+        for (int32_t a = 0; a < B_; ++a)
+            max_span = std::max<int64_t>(max_span, g.head[a] - g.tail[a]);
+        if (max_span >= SWEEP_MAX_SPAN) return false;  // Dijkstra fallback
+        span_class_.assign(max_span + 4097 + 1, -1);
+        class_span_.clear();
+        n_classes_ = 0;
+        std::vector<int32_t> cand;  // bucket + shortcut arc ids
+        cand.reserve(g.A - n);
+        for (int32_t a = 0; a < B_; ++a) cand.push_back(a);
+        for (int32_t a = B_ + (int32_t)n; a < g.A; ++a) cand.push_back(a);
+        auto span_of = [&](int32_t a) -> int64_t {
+            return a < B_ ? g.head[a] - g.tail[a] : g.tail[a] - g.head[a];
+        };
+        auto inspos_of = [&](int32_t a) -> int32_t {
+            return a < B_ ? g.tail[a] : g.head[a];
+        };
+        for (int32_t a : cand) {
+            int64_t s = span_of(a);
+            if (s >= (int64_t)span_class_.size())
+                span_class_.resize(s + 1, -1);
+            if (span_class_[s] == -1) {
+                span_class_[s] = n_classes_++;
+                class_span_.push_back(s);
+            }
+        }
+        P_ = 1;
+        while (P_ < std::max(n_classes_, 1)) P_ <<= 1;
+        tval_.assign(2 * P_, INF64);
+        targ_.assign(2 * P_, 0);
+        dq_.assign(n_classes_, {});
+        dq_head_.assign(n_classes_, 0);
+        // CSR of L->R candidates by insertion position
+        ins_off_.assign(N + 1, 0);
+        for (int32_t a : cand) ins_off_[inspos_of(a) + 1]++;
+        for (int32_t j = 0; j < N; ++j) ins_off_[j + 1] += ins_off_[j];
+        ins_ids_.resize(cand.size());
+        {
+            std::vector<int32_t> cur(ins_off_.begin(), ins_off_.end() - 1);
+            for (int32_t a : cand) ins_ids_[cur[inspos_of(a)]++] = a;
+        }
+        // buckets by tail: ids are already tail-sorted by construction
+        bkt_off_.assign(N + 1, 0);
+        for (int32_t a = 0; a < B_; ++a) bkt_off_[g.tail[a] + 1]++;
+        for (int32_t j = 0; j < N; ++j) bkt_off_[j + 1] += bkt_off_[j];
+        d_.assign(N, INF64);
+        return true;
+    }
+
+    bool sweep_pass_lr() {
+        const int32_t N = g.N;
+        // reset deques + tournament
+        for (int32_t c = 0; c < n_classes_; ++c) {
+            dq_[c].clear();
+            dq_head_[c] = 0;
+        }
+        std::fill(tval_.begin(), tval_.end(), INF64);
+        bool improved = false;
+        int64_t cu = INF64;  // chain-up segmented running min of d + pi
+        for (int32_t j = 0; j < N; ++j) {
+            if (j > 0) {
+                if (g.flow[B_ + (j - 1)] > 0) {
+                    if (d_[j - 1] < INF64)
+                        cu = std::min(cu, d_[j - 1] + pi[j - 1]);
+                } else {
+                    cu = INF64;
+                }
+            }
+            int64_t best = std::min(cu, dq_query(j));
+            if (best < INF64) {
+                int64_t nd = best - pi[j];
+                if (nd < d_[j]) {
+                    d_[j] = nd;
+                    improved = true;
+                    if (cu < INF64) cu = std::min(cu, nd + pi[j]);
+                }
+            }
+            if (d_[j] >= INF64) continue;
+            int64_t base = d_[j] + pi[j];
+            for (int32_t k = ins_off_[j]; k < ins_off_[j + 1]; ++k) {
+                int32_t a = ins_ids_[k];
+                if (a < B_) {
+                    if (g.flow[a] >= g.cap[a]) continue;
+                    int64_t v = base +
+                                g.cost_pool[g.cost_off[a] + g.flow[a]] *
+                                    g.scale;
+                    dq_insert(span_class_[g.head[a] - g.tail[a]], v, j);
+                } else {
+                    if (g.flow[a] <= 0) continue;  // shortcut reverse
+                    dq_insert(span_class_[g.tail[a] - g.head[a]], base, j);
+                }
+            }
+        }
+        return improved;
+    }
+
+    bool sweep_pass_rl() {
+        const int32_t N = g.N;
+        bool improved = false;
+        int64_t cd = INF64;  // chain-down running min of d + pi
+        int64_t bw = INF64;  // bucket-backward composite running min
+        for (int32_t j = N - 1; j >= 0; --j) {
+            if (j + 1 < N && d_[j + 1] < INF64)
+                cd = std::min(cd, d_[j + 1] + pi[j + 1]);
+            // backward refunds anchored at this tail position
+            for (int32_t a = bkt_off_[j]; a < bkt_off_[j + 1]; ++a) {
+                if (g.flow[a] <= 0) continue;
+                int32_t h = g.head[a];
+                if (d_[h] >= INF64) continue;
+                int64_t v =
+                    d_[h] -
+                    g.cost_pool[g.cost_off[a] + g.flow[a] - 1] * g.scale +
+                    pi[h];
+                bw = std::min(bw, v);
+            }
+            int64_t best = std::min(cd, bw);
+            if (best < INF64) {
+                int64_t nd = best - pi[j];
+                if (nd < d_[j]) {
+                    d_[j] = nd;
+                    improved = true;
+                    cd = std::min(cd, nd + pi[j]);
+                }
+            }
+        }
+        return improved;
+    }
+
+    // exact distances from all active supplies into d_ (INF64 where
+    // unreachable); returns rounds used
+    int32_t sweep_distances() {
+        const int32_t N = g.N;
+        std::fill(d_.begin(), d_.end(), INF64);
+        for (int32_t u = 0; u < N; ++u)
+            if (g.excess[u] > 0) d_[u] = 0;
+        int32_t rounds = 0;
+        while (true) {
+            rounds++;
+            bool i1 = sweep_pass_lr();
+            bool i2 = sweep_pass_rl();
+            if (!i1 && !i2) break;
+        }
+        n_sweep_rounds_ += rounds;
+        return rounds;
+    }
+
+    inline void add_seed(int32_t v) {
+        if (!seeded_[v]) {
+            seeded_[v] = 1;
+            seeds_.push_back(v);
+        }
     }
 
     int64_t route_admissible() {
@@ -418,6 +671,8 @@ struct ConvexSSP {
         cur2.assign(N, -2);  // -2 = uninitialised (lazy adj_first)
         dead_.assign(N, 0);
         onpath_.assign(N, 0);
+        seeds_.clear();
+        seeded_.assign(N, 0);
         int64_t routed = 0;
         for (int32_t s = 0; s < N; ++s) {
             if (g.excess[s] <= 0 || dead_[s]) continue;
@@ -438,7 +693,20 @@ struct ConvexSSP {
                     g.excess[s] -= delta;
                     g.excess[v] += delta;
                     routed += delta;
+                    // every pushed arc whose equal-marginal run was fully
+                    // consumed became inadmissible (rc rose): its head's
+                    // distance support may have died -> repair seed
+                    {
+                        int32_t u = s;
+                        for (size_t i = 0; i < pstack_.size(); ++i) {
+                            int32_t w = nstack_[i];
+                            if (!admissible_from(u, pstack_[i]))
+                                add_seed(w);
+                            u = w;
+                        }
+                    }
                     if (g.excess[s] == 0) {
+                        add_seed(s);  // exhausted supply stops being a root
                         for (int32_t u : nstack_) onpath_[u] = 0;
                         onpath_[s] = 0;
                         break;  // next supply
@@ -499,6 +767,20 @@ struct ConvexSSP {
         auto t0 = std::chrono::steady_clock::now();
         int64_t n_phases = 0, n_aug = 0, supply0 = excess_total;
 
+        // GD_SSP_DIST=sweep enables the directional-pass distance engine.
+        // NOT the default: measured on 200k reads / 500 kb (2026-08-21),
+        // its round count explodes with accumulated flow (2 rounds at
+        // phase 1 -> 280+ by phase 28) because SSP shortest paths become
+        // path-long exchange cascades alternating direction at every
+        // bucket hop — the "pass count = few direction reversals" premise
+        // holds only for the first flow layers. Kept for the low-flow
+        // regime and as the measured record of why the ROADMAP r4 design
+        // (block-sequential bidirectional Gauss-Seidel) cannot replace
+        // the per-phase Dijkstra at depth.
+        const char* de = std::getenv("GD_SSP_DIST");
+        bool use_sweep = de && std::strcmp(de, "sweep") == 0;
+        if (use_sweep) use_sweep = sweep_init();
+
         using QE = std::pair<int64_t, int32_t>;
         dist.assign(N, INF64);
         dist_gen.assign(N, -1);
@@ -515,6 +797,36 @@ struct ConvexSSP {
                              "[ssp] phase=%lld excess=%lld aug=%lld\n",
                              (long long)n_phases, (long long)excess_total,
                              (long long)n_aug);
+            }
+            if (use_sweep) {
+                auto tp = std::chrono::steady_clock::now();
+                int32_t rounds = sweep_distances();
+                int64_t D = INF64;
+                for (int32_t u = 0; u < N; ++u)
+                    if (g.excess[u] < 0 && d_[u] < D) D = d_[u];
+                if (D >= INF64) return false;  // no augmenting path
+                if (D > 0)
+                    for (int32_t u = 0; u < N; ++u)
+                        pi[u] += std::min(d_[u], D);
+                auto tr = std::chrono::steady_clock::now();
+                int64_t moved = route_admissible();
+                if (stats) {
+                    auto te = std::chrono::steady_clock::now();
+                    std::fprintf(
+                        stderr,
+                        "[ssp-sweep] phase=%lld rounds=%d D=%lld "
+                        "moved=%lld dist_ms=%.0f route_ms=%.0f\n",
+                        (long long)n_phases, rounds, (long long)D,
+                        (long long)moved,
+                        std::chrono::duration<double, std::milli>(tr - tp)
+                            .count(),
+                        std::chrono::duration<double, std::milli>(te - tr)
+                            .count());
+                }
+                if (moved <= 0) return false;
+                n_aug += moved;
+                excess_total -= moved;
+                continue;
             }
             // Phase: ONE multi-source Dijkstra (on reduced marginal
             // costs, >= 0 by invariant), then route as many endpoints as
@@ -666,9 +978,11 @@ struct ConvexSSP {
                             .count();
             std::fprintf(stderr,
                          "[mcmf-ssp] supply=%lld phases=%lld "
-                         "augmentations=%lld total=%.0fms\n",
+                         "units_routed=%lld sweep_rounds=%lld "
+                         "engine=%s total=%.0fms\n",
                          (long long)supply0, (long long)n_phases,
-                         (long long)n_aug, ms);
+                         (long long)n_aug, (long long)n_sweep_rounds_,
+                         use_sweep ? "sweep" : "dijkstra", ms);
         }
         return true;
     }
