@@ -63,21 +63,29 @@ struct ConvexCostScaling {
     std::vector<int64_t> cost_off;
     int64_t scale = 1;
 
-    // adjacency: entries 2a (forward direction of arc a) and 2a+1 (backward)
-    std::vector<int32_t> adj_next, adj_first;  // per node linked list
+    // adjacency: entries 2a (forward direction of arc a) and 2a+1
+    // (backward), stored CSR (contiguous per-node entry ranges) — the
+    // per-phase Dijkstra sweeps every node's incident entries, and the
+    // linked-list layout this replaced cost ~2x in cache misses on the
+    // hot settle loop (VERDICT r4 #6 micro-optimization)
+    std::vector<int32_t> csr_off, csr_ent;
     std::vector<int64_t> p, excess;
-    std::vector<int32_t> cur;
+    std::vector<int32_t> cur;  // per-node cursor: index into csr_ent
     int64_t eps = 1;
     int64_t n_pushes = 0, n_relabels = 0, n_updates = 0, n_dij_pops = 0;
 
     void finish_graph() {
-        adj_first.assign(N, -1);
-        adj_next.assign(2 * (size_t)A, -1);
-        for (int32_t a = A - 1; a >= 0; --a) {
-            adj_next[2 * a] = adj_first[tail[a]];
-            adj_first[tail[a]] = 2 * a;
-            adj_next[2 * a + 1] = adj_first[head[a]];
-            adj_first[head[a]] = 2 * a + 1;
+        csr_off.assign((size_t)N + 1, 0);
+        for (int32_t a = 0; a < A; ++a) {
+            csr_off[tail[a] + 1]++;
+            csr_off[head[a] + 1]++;
+        }
+        for (int32_t u = 0; u < N; ++u) csr_off[u + 1] += csr_off[u];
+        csr_ent.resize(2 * (size_t)A);
+        std::vector<int32_t> fill(csr_off.begin(), csr_off.end() - 1);
+        for (int32_t a = 0; a < A; ++a) {
+            csr_ent[fill[tail[a]]++] = 2 * a;
+            csr_ent[fill[head[a]]++] = 2 * a + 1;
         }
         flow.assign(A, 0);
     }
@@ -180,7 +188,8 @@ struct ConvexCostScaling {
                 dmax = d;
                 // incoming residual arcs of v: reverse x^1 of every
                 // adjacency entry x incident to v pointing away from v
-                for (int32_t x = adj_first[v]; x != -1; x = adj_next[x]) {
+                for (int32_t k = csr_off[v]; k < csr_off[v + 1]; ++k) {
+                    int32_t x = csr_ent[k];
                     int32_t xr = x ^ 1;  // directed entry (u -> v)
                     if (resid_of(xr) <= 0) continue;
                     int32_t u = to_of(x);  // == tail of xr
@@ -201,7 +210,7 @@ struct ConvexCostScaling {
             int64_t d = done_[u] ? dist_[u] : (int64_t)dmax + 1;
             if (d > 0) p[u] -= d * eps;
         }
-        for (int32_t u = 0; u < N; ++u) cur[u] = adj_first[u];
+        for (int32_t u = 0; u < N; ++u) cur[u] = csr_off[u];
     }
 
     bool refine_phase() {
@@ -263,16 +272,17 @@ struct ConvexCostScaling {
             active.pop_front();
             in_q[u] = 0;
             while (excess[u] > 0) {
-                int32_t x = cur[u];
-                if (x == -1) {
+                if (cur[u] == csr_off[u + 1]) {
                     int64_t best = INT64_MIN;
-                    for (int32_t e = adj_first[u]; e != -1; e = adj_next[e])
+                    for (int32_t k = csr_off[u]; k < csr_off[u + 1]; ++k) {
+                        int32_t e = csr_ent[k];
                         if (resid_of(e) > 0)
                             best = std::max(best,
                                             p[to_of(e)] - marg_of(e) - eps);
+                    }
                     if (best == INT64_MIN) return false;  // infeasible
                     p[u] = best;
-                    cur[u] = adj_first[u];
+                    cur[u] = csr_off[u];
                     n_relabels++;
                     if (++relabels >= relabel_budget) {
                         price_update();
@@ -280,6 +290,7 @@ struct ConvexCostScaling {
                     }
                     continue;
                 }
+                int32_t x = csr_ent[cur[u]];
                 int64_t dp = p[u] - p[to_of(x)];
                 if (resid_of(x) > 0 && marg_of(x) + dp < 0) {
                     n_pushes++;
@@ -295,7 +306,7 @@ struct ConvexCostScaling {
                         in_q[v] = 1;
                     }
                 } else {
-                    cur[u] = adj_next[x];
+                    cur[u]++;
                 }
             }
         }
@@ -310,7 +321,7 @@ struct ConvexCostScaling {
         const bool stats = std::getenv("GD_MCMF_STATS") != nullptr;
         while (true) {
             eps = std::max<int64_t>(eps / alpha, 1);
-            for (int32_t u = 0; u < N; ++u) cur[u] = adj_first[u];
+            for (int32_t u = 0; u < N; ++u) cur[u] = csr_off[u];
             auto t0 = std::chrono::steady_clock::now();
             n_pushes = n_relabels = n_updates = n_dij_pops = 0;
             if (!refine_phase()) return false;
@@ -668,7 +679,7 @@ struct ConvexSSP {
 
     int64_t route_admissible() {
         const int32_t N = g.N;
-        cur2.assign(N, -2);  // -2 = uninitialised (lazy adj_first)
+        cur2.assign(N, -2);  // -2 = uninitialised (lazily set to csr_off)
         dead_.assign(N, 0);
         onpath_.assign(N, 0);
         seeds_.clear();
@@ -726,15 +737,17 @@ struct ConvexSSP {
                     v = u;
                     continue;
                 }
-                if (cur2[v] == -2) cur2[v] = g.adj_first[v];
-                int32_t x = cur2[v];
-                while (x != -1) {
-                    int32_t w = g.to_of(x);
-                    if (!dead_[w] && !onpath_[w] && admissible_from(v, x))
+                if (cur2[v] == -2) cur2[v] = g.csr_off[v];
+                int32_t x = -1;
+                while (cur2[v] < g.csr_off[v + 1]) {
+                    int32_t e = g.csr_ent[cur2[v]];
+                    int32_t w = g.to_of(e);
+                    if (!dead_[w] && !onpath_[w] && admissible_from(v, e)) {
+                        x = e;
                         break;
-                    x = g.adj_next[x];
+                    }
+                    cur2[v]++;
                 }
-                cur2[v] = x;
                 if (x == -1) {
                     dead_[v] = 1;
                     if (v == s) {
@@ -864,8 +877,9 @@ struct ConvexSSP {
                         found += g.excess[w];
                         if (found >= excess_total) return true;
                     }
-                    for (int32_t x = g.adj_first[w]; x != -1;
-                         x = g.adj_next[x]) {
+                    for (int32_t k = g.csr_off[w]; k < g.csr_off[w + 1];
+                         ++k) {
+                        int32_t x = g.csr_ent[k];
                         int32_t xr = x ^ 1;  // arc (v -> w)
                         if (g.resid_of(xr) <= 0) continue;
                         int32_t v = g.to_of(x);
@@ -924,8 +938,9 @@ struct ConvexSSP {
                         // the rest of the line cannot shorten a found path
                         if (deficit_found >= want) return true;
                     }
-                    for (int32_t x = g.adj_first[u]; x != -1;
-                         x = g.adj_next[x]) {
+                    for (int32_t k = g.csr_off[u]; k < g.csr_off[u + 1];
+                         ++k) {
+                        int32_t x = g.csr_ent[k];
                         if (g.resid_of(x) <= 0) continue;
                         int32_t v = g.to_of(x);
                         if (done_gen[v] == gen) continue;
