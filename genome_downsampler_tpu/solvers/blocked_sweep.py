@@ -322,25 +322,42 @@ class BlockedWindowedMcpSolver(Solver):
             return not tpu_available()
         return bool(self.interpret)
 
-    def _geometry(self, n: int, span_max: int):
+    def _geometry(self, n: int, span_max: int, density: float = 0.0):
         """(W, B, L, chunk) for this genome. More windows = fewer sequential
-        positions per pass (relaxation rounds stay ~2, measured r4); W is
-        capped so each window keeps >= 8 blocks of genome, and B shrinks at
-        W=64 to keep the (B, W, L) f32 tile inside VMEM (16 MB)."""
+        positions per pass (relaxation rounds stay ~2 at ~60x, measured r4);
+        W is capped so each window keeps >= 8 blocks of genome, and B
+        shrinks at W=64 to keep the (B, W, L) f32 tile inside VMEM (16 MB).
+
+        ``density`` = input coverage (reads * mean_span / n). Deep coverage
+        (>= ~150x, the config-4 regime) flips the geometry to W=32/B=256:
+        carry corrections propagate a genome-metric distance d_p that grows
+        with tie density (measured r4/r5: 12 relaxation rounds at 300x
+        random starts, the full W-round worst case on adversarially flat
+        Weyl starts — seeding cannot fix it, ROADMAP r4 item 4), so fewer,
+        longer windows trade round count against pass length at equal
+        step totals while HALVING the per-step VPU cost (the sweep state is
+        (W, L): 8 vregs at W=32 vs 16 at W=64)."""
         L = self.max_span
         if span_max >= L:  # lane L-1 is the target lane: need span <= L-2
             L = -(-(span_max + 2) // 128) * 128
         W = self.n_windows
+        deep = density >= 150.0 and n >= 1_000_000
         if W is None:
             W = 8
-            while W < 64 and n // (2 * W) >= 8 * 256:
+            wcap = 32 if deep else 64
+            while W < wcap and n // (2 * W) >= 8 * 256:
                 W *= 2
         # the reconstruction pass tiles its halo in B-sized steps and needs
         # L % B == 0; L is always a 128-multiple, so B=128 is always legal
         # but B=256 is only legal when the (possibly span-upgraded) L is a
-        # 256-multiple
+        # 256-multiple. VMEM gate: the binding scratch is the RECON pass's
+        # (W, B, B + L) f32 tile (16.7 MB at W=32/B=256/L=256 — measured
+        # vmem OOM on chip), not the sweep's (B, W, L) tile the old rule
+        # modeled.
         B = self.block or (
-            128 if (W * 256 * L * 4 > 12 * 2**20 or L % 256 != 0) else 256
+            128
+            if (W * 256 * (256 + L) * 4 > 14 * 2**20 or L % 256 != 0)
+            else 256
         )
         chunk = self.chunk or (128 if B <= 128 else 256)
         return W, B, L, chunk
@@ -354,7 +371,12 @@ class BlockedWindowedMcpSolver(Solver):
         start = np.asarray(batch.start, np.int64)
         end = np.asarray(batch.end, np.int64)
         span_max = int((end - start).max()) + 1 if len(start) else 1
-        W, B, L, chunk = self._geometry(n, span_max)
+        # density = input coverage; a 4096-read sample of the mean span is
+        # plenty (only the >=150x geometry threshold consumes it)
+        density = float(len(start)) * max(
+            float(np.mean((end[:4096] - start[:4096]) + 1)), 1.0
+        ) / max(n, 1)
+        W, B, L, chunk = self._geometry(n, span_max, density)
         # cap rides the jit key; a fixed floor keeps it stable across
         # nonce'd datasets at a given scale so XLA/relay compile caches hit
         # (the padding lives only in device HBM — the H2D stream is flat)
