@@ -375,6 +375,11 @@ def _config4_bam_detail(use_device: bool) -> dict:
         stats = getattr(dev_solver, "last_stats", None)
         if stats:
             out["relaxation_rounds"] = stats["rounds"]
+            # decomposition of the device solve phase: the kernel compute
+            # rides inside "bits readback" (dispatch is async); pack and
+            # the relay dispatch/readback round-trips are host/transport
+            # costs that vanish on co-located hardware
+            out["device_solve_detail"] = stats
     return out
 
 

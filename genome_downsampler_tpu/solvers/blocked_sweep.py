@@ -51,11 +51,13 @@ class _Phase:
         self.force = bool(os.environ.get("GD_TRACE_PHASES"))
         self.t = time.perf_counter()
         self.clock = time.perf_counter
+        self.laps: dict[str, float] = {}
 
     def lap(self, what: str):
         now = self.clock()
         dt = now - self.t
         self.t = now
+        self.laps[what] = round(dt, 3)
         if self.force:
             import sys
 
@@ -439,7 +441,7 @@ class BlockedWindowedMcpSolver(Solver):
             ph.lap("bits readback")
             self.last_stats = {
                 "rounds": int(_rounds), "n_windows": W, "block": B,
-                "positions_per_pass": win,
+                "positions_per_pass": win, "phases_s": ph.laps,
             }
             if arena_generation() != arena_gen0:
                 raise RuntimeError(
