@@ -79,7 +79,7 @@ def _orchestrate() -> None:
     last_fail = _fail_json("all bench attempts stalled (dev relay)")
     # first-run XLA compiles of the W=64 pipelines take minutes through the
     # relay compile helper (cached persistently per program afterwards)
-    attempts = [([], 1100), ([], 900), (["--cpu"], 400)]
+    attempts = [([], 1450), ([], 800), (["--cpu"], 300)]
     for extra, budget in attempts:
         try:
             proc = subprocess.run(
@@ -307,6 +307,64 @@ C4_READS = 10_000_000
 C4_GENOME = 5_000_000
 C4_M = 50
 
+# config-5: chr1 scale BAM -> BAM, the full pipeline at 100M reads /
+# 250 Mb (60x -> 30x). The ~1 GB input BAM is synthesized ONCE out of
+# band (scripts: see commit r5) and cached; the bench skips the section
+# when the cache is absent rather than spending minutes synthesizing.
+C5_READS = 100_000_000
+C5_GENOME = 250_000_000
+C5_M = 30
+
+
+def _config5_bam_detail(use_device: bool) -> dict:
+    from genome_downsampler_tpu.config import BamApiConfig
+    from genome_downsampler_tpu.solvers.device_sweep import McpDeviceSweepSolver
+    from genome_downsampler_tpu.solvers.native_greedy import NativeGreedyMcpSolver
+
+    cache_dir = os.path.join(os.path.dirname(__file__), ".bench_cache")
+    bam_in = os.path.join(cache_dir, f"config5_{C5_READS}_{C5_GENOME}.bam")
+    if not os.path.exists(bam_in):
+        return {"skipped": "no cached config-5 BAM (synthesize out of band)"}
+    config = BamApiConfig(min_mapq=0, min_seq_length=0)
+    out = {
+        "scale": f"{C5_READS/1e6:.0f}M reads / {C5_GENOME/1e6:.0f} Mb / "
+                 f"M={C5_M} (BAM -> BAM)",
+    }
+    host_total, host_phases = _bam_to_bam(
+        bam_in, "/tmp/gd_bench_c5_host.bam",
+        NativeGreedyMcpSolver(), C5_M, config,
+    )
+    out.update(
+        host_bam_to_bam_s=round(host_total, 3),
+        host_phases=host_phases,
+        host_reads_per_s=round(C5_READS / host_total),
+    )
+    if use_device:
+        from genome_downsampler_tpu.io.bam import BamReader
+
+        dev_solver = McpDeviceSweepSolver()
+        # warm the jit on a same-shape nonce'd batch (see config-4 note)
+        t0 = time.perf_counter()
+        wb = BamReader(bam_in, config).get_batch()
+        wb.end[0] = max(int(wb.start[0]), int(wb.end[0]) - 1)
+        _ = dev_solver.solve(C5_M, wb)
+        out["device_warmup_incl_compile_s"] = round(
+            time.perf_counter() - t0, 2
+        )
+        del wb
+        dev_total, dev_phases = _bam_to_bam(
+            bam_in, "/tmp/gd_bench_c5_dev.bam", dev_solver, C5_M, config,
+        )
+        assert dev_phases["selected"] == host_phases["selected"]
+        out["device_bam_to_bam_s"] = round(dev_total, 3)
+        out["device_phases"] = dev_phases
+        out["device_reads_per_s"] = round(C5_READS / dev_total)
+        stats = getattr(dev_solver, "last_stats", None)
+        if stats:
+            out["relaxation_rounds"] = stats["rounds"]
+            out["device_solve_detail"] = stats
+    return out
+
 
 def _config4_bam_detail(use_device: bool) -> dict:
     from genome_downsampler_tpu.config import BamApiConfig
@@ -451,7 +509,7 @@ def _roofline():
 
 
 def main() -> None:
-    _install_watchdog(1050)
+    _install_watchdog(1380)
     cpu_mode = "--cpu" in sys.argv
     if cpu_mode:
         import jax
@@ -485,6 +543,8 @@ def main() -> None:
     # optional enrichment (watchdog publishes the headline if these stall)
     _trace("config4 BAM->BAM detail")
     RESULT["detail"]["config4_bam_to_bam"] = _config4_bam_detail(on_tpu)
+    _trace("config5 BAM->BAM detail")
+    RESULT["detail"]["config5_bam_to_bam"] = _config5_bam_detail(on_tpu)
     _trace("config1 BAM->BAM detail")
     RESULT["detail"]["config1_bam_to_bam"] = _config1_bam_detail(on_tpu)
     if on_tpu:

@@ -55,13 +55,26 @@ _log = get_logger("solvers.device_mcmf")
 
 INF = np.int32(1 << 30)
 IMAX = np.int32(2**31 - 1)
-PMAX = 4096  # augmenting-path step buffer (compressed runs + jumps)
+# Augmenting-path step buffer (compressed runs + jumps); paths run
+# ~2 * bucket-hops ~ 2n/median_span steps, so 4096 covers genomes to
+# ~250 kb of 150 bp reads. r5 attempted to lift this wall four ways —
+# larger buffers (8192+), a bufferless per-step-scatter walk, a chunked
+# nested-loop walk with batched flushes, and distinct-dump-index batched
+# scatters — and EVERY variant deterministically crashed the axon TPU
+# worker ("TPU worker process crashed or restarted") while passing all
+# CPU tests; the r4 program is the known-chip-safe form, so 4096 stands
+# and overflow falls back to the host engine loudly at runtime.
+PMAX = 4096
 PI_GUARD = np.int32(1 << 29)  # |pi| ceiling keeping all int32 adds safe
 
-# n above which qmcp-tpu falls back to the host C++ MCMF (hop count of a
-# whole-line shortest path ~ n / span makes the device fixpoint quadratic
-# on long genomes)
-DEVICE_GENOME_LIMIT = 262_144
+# n above which qmcp-tpu falls back to the host C++ MCMF. Two binding
+# walls (measured r5): the fixpoint iteration count per phase ~ bucket
+# hops ~ n/span (quadratic overall), and the PMAX step buffer — paths at
+# 262 kb of 60x/150 bp data already exceed 4096 steps, so the r4 limit
+# of 262_144 raised PATH_OVERFLOW at its own boundary. 131_072 holds
+# ~2.6k-step paths with zigzag headroom; the runtime fallback covers
+# adversarial cases beyond that.
+DEVICE_GENOME_LIMIT = 131_072
 
 # phase status codes
 OK = 0
@@ -520,22 +533,33 @@ class QmcpDeviceMcmfSolver(Solver):
         max_q = int(q.max(initial=0))
         cost = max_q - q + 1
         n = batch.ref_genome_length
-        if n > self.device_genome_limit:
+
+        def host():
             from genome_downsampler_tpu.solvers.native_mcmf import (
                 mcmf_select_convex,
             )
 
+            return mcmf_select_convex(
+                batch.start, batch.end, cost, n, max_coverage
+            )
+
+        if n > self.device_genome_limit:
             _log.info(
                 "qmcp-tpu: genome %d > device limit %d; host MCMF engine",
                 n, self.device_genome_limit,
             )
-            return mcmf_select_convex(
-                batch.start, batch.end, cost, n, max_coverage
+            return host()
+        try:
+            return ssp_device_select(
+                np.asarray(batch.start, np.int64),
+                np.asarray(batch.end, np.int64),
+                cost,
+                n,
+                int(max_coverage),
             )
-        return ssp_device_select(
-            np.asarray(batch.start, np.int64),
-            np.asarray(batch.end, np.int64),
-            cost,
-            n,
-            int(max_coverage),
-        )
+        except RuntimeError as e:
+            # adversarial inputs can exceed the device walk buffer below
+            # the genome-length limit; the result stays exact via the
+            # host engine, and the dispatch decision is logged loudly
+            _log.warning("qmcp-tpu device solve failed (%s); host engine", e)
+            return host()
