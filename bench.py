@@ -340,13 +340,13 @@ def _config5_bam_detail(use_device: bool) -> dict:
         host_reads_per_s=round(C5_READS / host_total),
     )
     if use_device:
-        from genome_downsampler_tpu.io.bam import BamReader
-
         dev_solver = McpDeviceSweepSolver()
-        # warm the jit on a same-shape nonce'd batch (see config-4 note)
+        # warm the jit on a SYNTHETIC same-shape nonce'd batch: the cached
+        # config-5 BAM pairs every read, so the post-pairing count is
+        # exactly C5_READS and the packed shapes match without paying a
+        # 100M-record parse just to warm the compile cache
         t0 = time.perf_counter()
-        wb = BamReader(bam_in, config).get_batch()
-        wb.end[0] = max(int(wb.start[0]), int(wb.end[0]) - 1)
+        wb = _weyl_batch(C5_READS, C5_GENOME, 913)
         _ = dev_solver.solve(C5_M, wb)
         out["device_warmup_incl_compile_s"] = round(
             time.perf_counter() - t0, 2
