@@ -208,3 +208,36 @@ def test_writer_voffset_past_eof_raises(tmp_path):
             path, tmp_path / "out.bam",
             np.array([1 << 60], np.int64), ids_are_voffsets=True,
         )
+
+
+def test_whole_file_scan_thread_invariance(tmp_path):
+    """r5 batch-parallel record scan: the emitted arrays (and their ORDER
+    — the pair-completion contract) must be bit-identical across thread
+    counts, on a file large enough to span several inflate batches and
+    force records to straddle batch boundaries."""
+    import numpy as np
+
+    from genome_downsampler_tpu.config import BamApiConfig
+    from genome_downsampler_tpu.io.bam import read_bam
+    from genome_downsampler_tpu.testing.bam_writer import write_test_bam
+    from genome_downsampler_tpu.testing.reads_gen import rand_reads_uniform
+
+    rng = np.random.default_rng(17)
+    batch = rand_reads_uniform(rng, 60_000, 100_000, 150)
+    bam = tmp_path / "ti.bam"
+    write_test_bam(bam, batch, coordinate_sorted=True)
+
+    cfgs = [
+        BamApiConfig(min_mapq=0, min_seq_length=0, hts_thread_count=t)
+        for t in (1, 2, 8)
+    ]
+    ref, ref_fo, _ = read_bam(bam, cfgs[0])
+    assert ref.n_reads == batch.n_reads
+    for cfg in cfgs[1:]:
+        got, got_fo, _ = read_bam(bam, cfg)
+        np.testing.assert_array_equal(got.bam_id, ref.bam_id)
+        np.testing.assert_array_equal(got.start, ref.start)
+        np.testing.assert_array_equal(got.end, ref.end)
+        np.testing.assert_array_equal(got.quality, ref.quality)
+        np.testing.assert_array_equal(got.is_first, ref.is_first)
+        np.testing.assert_array_equal(got_fo, ref_fo)
