@@ -726,6 +726,15 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
     out->min_mapq_seen = INT64_MAX;
     out->max_mapq_seen = -1;
 
+    // clamp BEFORE the reader is constructed so the inflate pool and
+    // read-ahead batch sizing see the effective value too (threads
+    // beyond the hardware only add spawn cost and contention)
+    {
+        int hw = (int)std::thread::hardware_concurrency();
+        if (hw > 0) threads = std::min(threads, hw);
+        threads = std::max(threads, 1);
+    }
+
     BgzfReader r;
     if (!r.open(path, threads)) { std::snprintf(out->error, 256, "%s", r.error.c_str()); return 1; }
     HeaderInfo h;
@@ -759,13 +768,6 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
     std::vector<uint8_t> v_first, v_amp;
     std::vector<uint8_t> accepted;     // per scanned record (ordinal mode)
     std::vector<int64_t> scanned_ids;  // per scanned record (region mode)
-    // threads beyond the hardware only add spawn cost and contention
-    // (measured: 8 threads SLOWER than 2 on the 2-core dev VM)
-    {
-        int hw = (int)std::thread::hardware_concurrency();
-        if (hw > 0) threads = std::min(threads, hw);
-        threads = std::max(threads, 1);
-    }
     // pre-size the output arrays from the compressed file size (~55
     // bytes/record at typical BAMs; synthetic test BAMs compress far
     // smaller, so this deliberately undershoots — growth handles the
@@ -782,8 +784,9 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
         std::fseek(r.f, fpos, SEEK_SET);
         est_records = region ? 0 : fsize / 55;
     }
-    QnameMap pending(std::max<int64_t>(
-        std::min<int64_t>(est_records / 2 + 1, 1 << 18), 1 << 16));
+    // region mode pairs through this map; the whole-file batch path
+    // pairs through its fingerprint shards, so no est-based pre-size here
+    QnameMap pending;
     if (est_records) {
         v_id.reserve(est_records);
         v_start.reserve(est_records);
@@ -798,12 +801,14 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
     std::vector<uint8_t> rec;
     int64_t ordinal = 0, n_scanned = 0;
 
-    // emission for one completed pair (r1 = first-seen mate); shared by
-    // both scan paths so filters, GRADE bookkeeping and accepted[] marks
-    // are byte-identical between them
+    // emission for one completed pair (r1 = first-seen mate); the ONE
+    // copy of the filter / GRADE / emit logic, called by both the
+    // batch-parallel whole-file path and the region scan
     auto emit_pair = [&](PendingRead r1, PendingRead r2) {
         bool drop = r1.mapq < min_mapq || r2.mapq < min_mapq ||
                     r1.l_seq < (int32_t)min_len ||
+                    // a pair split across contigs has no coherent
+                    // coordinate system; drop it (file header comment)
                     r2.l_seq < (int32_t)min_len || r1.ref_id != r2.ref_id;
         if (amplicon_mode == 1 && !drop) drop = !in_single(r1, r2);
         if (drop) return;
@@ -826,8 +831,10 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
             v_amp.push_back(amp_flag);
             v_contig.push_back(p->ref_id);
         }
-        accepted[r1.bam_id] = 1;
-        accepted[r2.bam_id] = 1;
+        if (!region) {
+            accepted[r1.bam_id] = 1;
+            accepted[r2.bam_id] = 1;
+        }
     };
 
     if (!region) {
@@ -944,7 +951,7 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
                         }
                         if (!x.skip) {
                             PendingRead mate;
-                            if (shards[(size_t)(x.fp >> 3) % n_shards]
+                            if (shards[(size_t)(x.fp >> 32) % n_shards]
                                     .find_or_insert_h(
                                         x.fp,
                                         reinterpret_cast<const char*>(
@@ -1036,7 +1043,7 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
             } else {
             for (size_t i = 0; i < nrec; ++i)
                 if (!exts[i].skip)
-                    shard_cnt[(size_t)(exts[i].fp >> 3) %
+                    shard_cnt[(size_t)(exts[i].fp >> 32) %
                               (uint64_t)n_shards + 1]++;
             for (int t = 0; t < n_shards; ++t)
                 shard_cnt[t + 1] += shard_cnt[t];
@@ -1045,7 +1052,7 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
                                             shard_cnt.end() - 1);
                 for (size_t i = 0; i < nrec; ++i)
                     if (!exts[i].skip)
-                        shard_idx[fillp[(size_t)(exts[i].fp >> 3) %
+                        shard_idx[fillp[(size_t)(exts[i].fp >> 32) %
                                         (uint64_t)n_shards]++] =
                             (uint32_t)i;
             }
@@ -1081,6 +1088,14 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
             }
             t_emit += now() - t0;
             t0 = now();
+        }
+        if (!carry.empty()) {
+            // EOF with a partial trailing record: the writer crashed or
+            // the copy was cut mid-record (complete BGZF blocks can still
+            // frame a truncated record stream) — match the scalar path's
+            // loud failure instead of silently dropping the tail
+            std::snprintf(out->error, 256, "truncated record");
+            return 1;
         }
         if (io_stats)
             std::fprintf(stderr,
@@ -1143,39 +1158,7 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
         if (!pending.find_or_insert(
                 qname, l_read_name ? l_read_name - 1 : 0, cur, &mate))
             continue;
-        PendingRead r1 = mate;  // first seen came from the map
-        PendingRead r2 = cur;
-        bool drop = r1.mapq < min_mapq || r2.mapq < min_mapq ||
-                    r1.l_seq < (int32_t)min_len || r2.l_seq < (int32_t)min_len ||
-                    // deviation: a pair split across contigs has no coherent
-                    // coordinate system; drop it (see file header comment)
-                    r1.ref_id != r2.ref_id;
-        if (amplicon_mode == 1 && !drop) drop = !in_single(r1, r2);
-        if (drop) continue;
-
-        uint8_t amp_flag = 0;
-        if (amplicon_mode == 2) {
-            out->min_mapq_seen = std::min<int64_t>(
-                out->min_mapq_seen, std::min(r1.mapq, r2.mapq));
-            out->max_mapq_seen = std::max<int64_t>(
-                out->max_mapq_seen, std::max(r1.mapq, r2.mapq));
-            amp_flag = in_single(r1, r2) ? 1 : 0;
-        }
-        if (!r1.is_first) std::swap(r1, r2);
-        for (const PendingRead* p : {&r1, &r2}) {
-            v_id.push_back(p->bam_id);
-            v_start.push_back((int32_t)p->start);
-            v_end.push_back((int32_t)p->end);
-            v_q.push_back((int32_t)p->mapq);
-            v_len.push_back(p->l_seq);
-            v_first.push_back(p->is_first ? 1 : 0);
-            v_amp.push_back(amp_flag);
-            v_contig.push_back(p->ref_id);
-        }
-        if (!region) {
-            accepted[r1.bam_id] = 1;
-            accepted[r2.bam_id] = 1;
-        }
+        emit_pair(mate, cur);
     }
     if (!r.error.empty()) { std::snprintf(out->error, 256, "%s", r.error.c_str()); return 1; }
 

@@ -418,19 +418,15 @@ struct ConvexSSP {
     std::vector<int32_t> cur2;        // per-node current-arc pointer
     std::vector<uint8_t> dead_, onpath_;
     std::vector<int32_t> pstack_, nstack_;
-    // repair seeds collected while routing: nodes whose shortest-path
-    // support may have died (heads of arcs a push made inadmissible,
-    // supplies whose excess hit zero)
-    std::vector<int32_t> seeds_;
-    std::vector<uint8_t> seeded_;
 
     inline bool admissible_from(int32_t u, int32_t x) const {
         if (g.resid_of(x) <= 0) return false;
         return g.marg_of(x) + pi[u] - pi[g.to_of(x)] == 0;
     }
 
-    // ---- line-sweep distance engine (default; GD_SSP_DIST=dijkstra
-    // forces the heap engine) ------------------------------------------
+    // ---- line-sweep distance engine (opt-in: GD_SSP_DIST=sweep; the
+    // per-phase Dijkstra stays the default — see the measured round-count
+    // explosion note at the env check in run()) ------------------------
     //
     // The r4 profile (VERDICT #6): phases == augmentations == supply, one
     // full-line Dijkstra per unit of flow — 239.7 s at 25M reads. Layer
@@ -670,20 +666,11 @@ struct ConvexSSP {
         return rounds;
     }
 
-    inline void add_seed(int32_t v) {
-        if (!seeded_[v]) {
-            seeded_[v] = 1;
-            seeds_.push_back(v);
-        }
-    }
-
     int64_t route_admissible() {
         const int32_t N = g.N;
         cur2.assign(N, -2);  // -2 = uninitialised (lazily set to csr_off)
         dead_.assign(N, 0);
         onpath_.assign(N, 0);
-        seeds_.clear();
-        seeded_.assign(N, 0);
         int64_t routed = 0;
         for (int32_t s = 0; s < N; ++s) {
             if (g.excess[s] <= 0 || dead_[s]) continue;
@@ -704,20 +691,7 @@ struct ConvexSSP {
                     g.excess[s] -= delta;
                     g.excess[v] += delta;
                     routed += delta;
-                    // every pushed arc whose equal-marginal run was fully
-                    // consumed became inadmissible (rc rose): its head's
-                    // distance support may have died -> repair seed
-                    {
-                        int32_t u = s;
-                        for (size_t i = 0; i < pstack_.size(); ++i) {
-                            int32_t w = nstack_[i];
-                            if (!admissible_from(u, pstack_[i]))
-                                add_seed(w);
-                            u = w;
-                        }
-                    }
                     if (g.excess[s] == 0) {
-                        add_seed(s);  // exhausted supply stops being a root
                         for (int32_t u : nstack_) onpath_[u] = 0;
                         onpath_[s] = 0;
                         break;  // next supply

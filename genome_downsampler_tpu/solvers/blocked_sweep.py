@@ -331,7 +331,8 @@ class BlockedWindowedMcpSolver(Solver):
         shrinks at W=64 to keep the (B, W, L) f32 tile inside VMEM (16 MB).
 
         ``density`` = input coverage (reads * mean_span / n). Deep coverage
-        (>= ~150x, the config-4 regime) flips the geometry to W=32/B=256:
+        (>= ~150x, the config-4 regime) caps the geometry at W=32
+        (B stays 128 — the VMEM gate below rules out B=256 at W=32):
         carry corrections propagate a genome-metric distance d_p that grows
         with tie density (measured r4/r5: 12 relaxation rounds at 300x
         random starts, the full W-round worst case on adversarially flat

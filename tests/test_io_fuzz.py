@@ -363,3 +363,16 @@ def test_writer_truncated_input(valid_bam, tmp_path):
     with pytest.raises(IOError):
         write_bam(str(trunc), str(tmp_path / "o3.bam"),
                   np.arange(16, dtype=np.int64))
+
+
+def test_truncated_record_stream_in_valid_bgzf(valid_bam, tmp_path):
+    """r5 review finding: a record stream cut mid-record but re-wrapped in
+    VALID BGZF blocks (writer crash / interrupted copy that flushed whole
+    blocks) must error, not silently drop the tail — the batch-parallel
+    scan's carry buffer holds the partial record at EOF."""
+    payload = _decode_payload(valid_bam.read_bytes())
+    for cut in (3, 7, 40):
+        p = tmp_path / f"trunc_{cut}.bam"
+        p.write_bytes(_encode_payload(payload[:-cut]))
+        ok, _ = _read_outcome(p)
+        assert not ok, f"truncated-by-{cut} BAM accepted silently"
