@@ -531,6 +531,127 @@ extern "C" int64_t gd_pack_blocked(
 // ships to the device — the padded (group, cap) layout is rebuilt there
 // by a scatter, so the transfer carries R codes instead of groups * cap.
 // counts: int32[groups]. Arena-owned output.
+// Direct flat packer: emits the FLAT uint16 valid-code stream (group
+// order, code-sorted within groups — byte-identical to gd_pack_blocked
+// followed by gd_pack_flat_u16) WITHOUT materializing the padded int32
+// arena at all. At chr1 scale the padded arena is ~1 GB of sentinel-
+// filled memory built only to be compacted away; skipping it roughly
+// halves the pack phase (the largest device-path host cost in the r5
+// config-5 bench). `out_slots` still gets PADDED indices
+// ((t*W + w) * cap + rank) — the device reconstruction bitmask stays
+// padded-shaped, rebuilt on device by expand_flat_codes.
+// Outputs are arena-owned: valid until the next pack call.
+extern "C" int64_t gd_pack_flat_direct(
+    const int64_t* start, const int64_t* end, int64_t R, int64_t n,
+    int64_t W, int64_t B, int64_t L, int64_t cap_multiple,
+    int64_t cap_floor, int64_t threads,
+    uint16_t** out_flat, int32_t** out_counts,
+    int64_t* out_win, int64_t* out_cap, int64_t** out_slots) {
+    *out_flat = nullptr;
+    *out_counts = nullptr;
+    if (out_slots) *out_slots = nullptr;
+    int64_t win = (n + W - 1) / W;
+    win = (win + B - 1) / B * B;
+    int64_t nbw = win / B;
+    int64_t groups = nbw * W;
+    if (B * L > 0x10000) return -1;  // codes must fit uint16
+    int64_t T = std::max<int64_t>(1, std::min<int64_t>(threads, 32));
+
+    PackArenas& P = pack_bufs();
+    int32_t* counts = P.counts.get_zeroed(std::max<int64_t>(groups, 1));
+    std::atomic<bool> ok{true};
+    {
+        std::vector<std::vector<int32_t>> part(T);
+        std::vector<std::thread> pool;
+        for (int64_t k = 0; k < T; ++k) {
+            pool.emplace_back([&, k] {
+                auto& c = part[k];
+                c.assign(groups, 0);
+                int64_t r0 = R * k / T, r1 = R * (k + 1) / T;
+                for (int64_t r = r0; r < r1; ++r) {
+                    int64_t span = end[r] - start[r] + 1;
+                    if (start[r] < 0 || start[r] >= W * win || span < 1 ||
+                        span >= L) { ok = false; return; }
+                    int64_t w = start[r] / win, t = (start[r] % win) / B;
+                    c[t * W + w]++;
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+        if (!ok) return -1;
+        for (int64_t k = 0; k < T; ++k)
+            for (int64_t g = 0; g < groups; ++g) counts[g] += part[k][g];
+    }
+    int64_t maxc = 0;
+    for (int64_t g = 0; g < groups; ++g)
+        maxc = std::max<int64_t>(maxc, counts[g]);
+    int64_t cap = std::max<int64_t>(
+        std::max<int64_t>(cap_multiple, cap_floor),
+        (maxc + cap_multiple - 1) / cap_multiple * cap_multiple);
+
+    uint16_t* flat = P.packed16.get(std::max<int64_t>(R, 1));
+    int32_t* rid_all = P.rid.get(std::max<int64_t>(R, 1));
+    int64_t* slots =
+        out_slots ? P.slots.get(std::max<int64_t>(R, 1)) : nullptr;
+    // group offsets into the flat stream (prefix over groups)
+    std::vector<int64_t> goff(groups + 1, 0);
+    for (int64_t g = 0; g < groups; ++g) goff[g + 1] = goff[g] + counts[g];
+
+    {
+        std::vector<std::thread> pool;
+        for (int64_t k = 0; k < T; ++k) {
+            pool.emplace_back([&, k] {
+                int64_t t0 = nbw * k / T, t1 = nbw * (k + 1) / T;
+                if (t0 == t1) return;
+                int64_t g_lo = t0 * W, g_hi = t1 * W;
+                std::vector<int32_t> fill(g_hi - g_lo, 0);
+                for (int64_t r = 0; r < R; ++r) {
+                    int64_t w = start[r] / win, t = (start[r] % win) / B;
+                    if (t < t0 || t >= t1) continue;
+                    int64_t g = t * W + w;
+                    int64_t start_rel = start[r] % B;
+                    int64_t span = end[r] - start[r] + 1;
+                    int64_t f = fill[g - g_lo]++;
+                    flat[goff[g] + f] =
+                        (uint16_t)(start_rel * L + (span - 1));
+                    rid_all[goff[g] + f] = (int32_t)r;
+                }
+                std::vector<int32_t> perm, tmp;
+                for (int64_t g = g_lo; g < g_hi; ++g) {
+                    int32_t cnt = fill[g - g_lo];
+                    if (cnt <= 1) {
+                        if (slots && cnt == 1)
+                            slots[rid_all[goff[g]]] = g * cap;
+                        continue;
+                    }
+                    uint16_t* pc = flat + goff[g];
+                    int32_t* pr = rid_all + goff[g];
+                    perm.resize(cnt);
+                    tmp.resize(cnt);
+                    for (int32_t i = 0; i < cnt; ++i) perm[i] = i;
+                    std::stable_sort(perm.begin(), perm.end(),
+                                     [&](int32_t x, int32_t y) {
+                                         return pc[x] < pc[y];
+                                     });
+                    for (int32_t i = 0; i < cnt; ++i) tmp[i] = pc[perm[i]];
+                    for (int32_t i = 0; i < cnt; ++i) {
+                        pc[i] = (uint16_t)tmp[i];
+                        if (slots)
+                            slots[pr[perm[i]]] = g * cap + i;
+                    }
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    *out_flat = flat;
+    *out_counts = counts;
+    *out_win = win;
+    *out_cap = cap;
+    if (out_slots) *out_slots = slots;
+    return 0;
+}
+
 extern "C" int64_t gd_pack_flat_u16(
     const int32_t* packed, const int32_t* counts, int64_t groups,
     int64_t cap, uint16_t** out) {

@@ -199,6 +199,72 @@ def _pack_blocked_native(start, end, n, W, B, L, cap_multiple,
     return packed, counts, win.value, W * win.value
 
 
+def pack_flat_direct(
+    start: np.ndarray,
+    end: np.ndarray,
+    n: int,
+    n_windows: int,
+    block: int,
+    max_span: int,
+    cap_multiple: int = 256,
+    cap_floor: int = 0,
+):
+    """Pack STRAIGHT to the flat uint16 valid-code stream (plus counts,
+    cap, and padded-index slots) without materializing the padded int32
+    arena — byte-identical outputs to ``pack_blocked`` + ``pack_flat_u16``
+    but skipping the ~2.5x sentinel-padded arena entirely (~1 GB of pure
+    fill-and-discard at chr1 scale; the pack phase was the largest
+    device-path host cost in the r5 config-5 bench).
+
+    Returns ``(flat_u16[R], counts[nbw, W], win, n_pad, cap, slots[R])``.
+    Arrays are zero-copy C-arena views (see ``arena_generation``).
+    Raises OSError when the native library is unavailable (callers fall
+    back to the two-step path).
+    """
+    import ctypes
+
+    from genome_downsampler_tpu.io.build import build_bamio
+
+    W, B, L = n_windows, block, max_span
+    if B * L > 1 << 16:
+        raise ValueError("codes exceed uint16; use pack_blocked")
+    lib = ctypes.CDLL(str(build_bamio()))
+    lib.gd_pack_flat_direct.restype = ctypes.c_int64
+    lib.gd_pack_flat_direct.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+    ]
+    s = np.ascontiguousarray(start, np.int64)
+    e = np.ascontiguousarray(end, np.int64)
+    p_flat = ctypes.POINTER(ctypes.c_uint16)()
+    p_counts = ctypes.POINTER(ctypes.c_int32)()
+    p_slots = ctypes.POINTER(ctypes.c_int64)()
+    win = ctypes.c_int64()
+    cap = ctypes.c_int64()
+    rc = lib.gd_pack_flat_direct(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        s.shape[0], n, W, B, L, cap_multiple, cap_floor, 8,
+        ctypes.byref(p_flat), ctypes.byref(p_counts),
+        ctypes.byref(win), ctypes.byref(cap), ctypes.byref(p_slots),
+    )
+    if rc != 0:
+        raise ValueError(
+            "gd_pack_flat_direct: invalid reads (span/start bounds)"
+        )
+    _bump_arena_gen()
+    nbw = win.value // B
+    flat = np.ctypeslib.as_array(p_flat, shape=(s.shape[0],))
+    counts = np.ctypeslib.as_array(p_counts, shape=(nbw, W))
+    slots = np.ctypeslib.as_array(p_slots, shape=(s.shape[0],))
+    return flat, counts, win.value, W * win.value, cap.value, slots
+
+
 def pack_flat_u16(packed: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Compact padded codes to the flat valid-codes stream (group order,
     uint16) through the C arena; numpy fallback. The padded device layout

@@ -27,6 +27,7 @@ from genome_downsampler_tpu.ops.pallas_blocked import (
     expand_flat_codes,
     mask_select,
     pack_blocked,
+    pack_flat_direct,
     pack_flat_u16,
 )
 from genome_downsampler_tpu.solvers.base import Solution, Solver
@@ -384,30 +385,39 @@ class BlockedWindowedMcpSolver(Solver):
         # nonce'd datasets at a given scale so XLA/relay compile caches hit
         # (the padding lives only in device HBM — the H2D stream is flat)
         cap_floor = 2 * chunk if self.device_reconstruct else 0
-        res = pack_blocked(
-            start, end, n, W, B, L,
-            cap_multiple=chunk, return_slots=self.device_reconstruct,
-            cap_floor=cap_floor,
-        )
-        if self.device_reconstruct:
-            packed, counts, win, n_pad, slots = res
-        else:
-            packed, counts, win, n_pad = res
+        flat_path = self.device_reconstruct and B * L <= 1 << 16
+        if flat_path:
+            try:
+                # pack STRAIGHT to the flat uint16 stream: no padded int32
+                # arena is built at all (the two-step path filled ~2.5x of
+                # sentinel padding only to compact it away — ~1 GB at chr1
+                # scale, the largest host cost of the device solve)
+                packed, counts, win, n_pad, cap, slots = pack_flat_direct(
+                    start, end, n, W, B, L,
+                    cap_multiple=chunk, cap_floor=cap_floor,
+                )
+            except OSError:  # native lib unavailable: two-step fallback
+                flat_path = False
+        if not flat_path:
+            res = pack_blocked(
+                start, end, n, W, B, L,
+                cap_multiple=chunk, return_slots=self.device_reconstruct,
+                cap_floor=cap_floor,
+            )
+            if self.device_reconstruct:
+                packed, counts, win, n_pad, slots = res
+            else:
+                packed, counts, win, n_pad = res
+            cap = packed.shape[2]
+            if self.device_reconstruct and B * L <= 1 << 16:
+                # transfer diet stage 3 via the two-step compaction (numpy
+                # fallback path). Real codes are <= B*L - 2 (span cap is
+                # L-1), so the 0xFFFF sentinel never collides.
+                packed = pack_flat_u16(packed, counts)
         ph.lap("pack")
         # counts ride SMEM (scalar prefetch); past ~512 KB switch to the
         # counts-free kernel variant (same auto rule as parallel/blocked_mesh)
-        static_chunks = packed.shape[0] * W * 4 > 512 * 1024
-
-        # transfer diet (see _blocked_pipeline): uint16 codes when the code
-        # space fits and 0xFFFF stays a free sentinel (the int32 -1 maps to
-        # exactly 0xFFFF under the cast)
-        cap = packed.shape[2]
-        if B * L <= 1 << 16 and self.device_reconstruct:
-            # transfer diet stage 3: ship the flat valid-code stream (R
-            # uint16) + counts; the padded layout is rebuilt on device.
-            # Real codes are <= B*L - 2 (span cap is L-1), so the 0xFFFF
-            # sentinel never collides.
-            packed = pack_flat_u16(packed, counts)
+        static_chunks = (win // B) * W * 4 > 512 * 1024
         # `slots` (and the packed/counts views) are zero-copy C-arena views:
         # snapshot the generation now and verify it before consuming slots
         # at the end of the solve, so any interleaved pack call (a second

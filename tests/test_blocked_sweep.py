@@ -410,3 +410,38 @@ def test_blocked_solver_span_at_default_max_span():
     sel = solver.solve(4, batch)
     oracle = GreedyMcpSolver().solve(4, batch)
     np.testing.assert_array_equal(sel, oracle)
+
+
+def test_pack_flat_direct_matches_two_step():
+    """gd_pack_flat_direct must emit byte-identical (flat stream, counts,
+    cap, slots) to pack_blocked + pack_flat_u16 — the contract that lets
+    the solver skip the padded arena entirely."""
+    from genome_downsampler_tpu.ops.pallas_blocked import (
+        pack_blocked,
+        pack_flat_direct,
+        pack_flat_u16,
+    )
+
+    rng = np.random.default_rng(23)
+    for seed in range(3):
+        rng = np.random.default_rng(23 + seed)
+        r = 20_000
+        n = 50_000
+        start = rng.integers(0, n - 300, r)
+        end = start + rng.integers(1, 250, r)
+        W, B, L = 8, 128, 256
+        flat, counts, win, n_pad, cap, slots = pack_flat_direct(
+            start, end, n, W, B, L, cap_multiple=128, cap_floor=256
+        )
+        flat = flat.copy()
+        counts = counts.copy()
+        slots = slots.copy()
+        packed2, counts2, win2, n_pad2, slots2 = pack_blocked(
+            start, end, n, W, B, L, cap_multiple=128, return_slots=True,
+            cap_floor=256,
+        )
+        flat2 = pack_flat_u16(packed2, counts2)
+        assert (win, n_pad, cap) == (win2, n_pad2, packed2.shape[2])
+        np.testing.assert_array_equal(counts, counts2)
+        np.testing.assert_array_equal(flat, flat2)
+        np.testing.assert_array_equal(slots, slots2)
