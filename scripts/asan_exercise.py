@@ -74,6 +74,36 @@ def main():
     )
     assert rc == 0
     # outputs are arena-owned (reused across calls): NOT freed here.
+    # exercise the direct flat packer on the same reads (arena overwrite
+    # is the point: it must not corrupt the later consumers we re-call)
+    lib.gd_pack_flat_direct.restype = ctypes.c_int64
+    p_flat = ctypes.POINTER(ctypes.c_uint16)()
+    p_counts2 = ctypes.POINTER(ctypes.c_int32)()
+    p_slots2 = ctypes.POINTER(ctypes.c_int64)()
+    win2 = ctypes.c_int64()
+    cap2 = ctypes.c_int64()
+    rc = lib.gd_pack_flat_direct(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(s)), ctypes.c_int64(30_000), ctypes.c_int64(8),
+        ctypes.c_int64(256), ctypes.c_int64(256), ctypes.c_int64(256),
+        ctypes.c_int64(0), ctypes.c_int64(4),
+        ctypes.byref(p_flat), ctypes.byref(p_counts2),
+        ctypes.byref(win2), ctypes.byref(cap2), ctypes.byref(p_slots2),
+    )
+    assert rc == 0 and win2.value == win.value
+    # re-pack padded (the flat call overwrote shared arenas)
+    rc = lib.gd_pack_blocked(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(s)), ctypes.c_int64(30_000), ctypes.c_int64(8),
+        ctypes.c_int64(256), ctypes.c_int64(256), ctypes.c_int64(256),
+        ctypes.c_int64(0), ctypes.c_int64(4),
+        ctypes.byref(p_packed), ctypes.byref(p_counts),
+        ctypes.byref(win), ctypes.byref(cap),
+        ctypes.byref(p_slots),
+    )
+    assert rc == 0
     # exercise the u16 narrowing + mask bit test on the packed result
     nslots = (win.value // 256) * 8 * cap.value
     lib.gd_pack_to_u16.restype = ctypes.c_int64
