@@ -785,8 +785,8 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
         est_records = region ? 0 : fsize / 55;
     }
     // region mode pairs through this map; the whole-file batch path
-    // pairs through its fingerprint shards, so no est-based pre-size here
-    QnameMap pending;
+    // pairs through its fingerprint shards, so keep it at the floor there
+    QnameMap pending(region ? (size_t)(1 << 16) : 1);
     if (est_records) {
         v_id.reserve(est_records);
         v_start.reserve(est_records);
@@ -1089,11 +1089,13 @@ static int read_bam_impl(const char* path, int threads, uint32_t min_mapq,
             t_emit += now() - t0;
             t0 = now();
         }
-        if (!carry.empty()) {
+        if (!carry.empty() && r.error.empty()) {
             // EOF with a partial trailing record: the writer crashed or
             // the copy was cut mid-record (complete BGZF blocks can still
             // frame a truncated record stream) — match the scalar path's
-            // loud failure instead of silently dropping the tail
+            // loud failure instead of silently dropping the tail. When the
+            // READER itself failed (bad block, inflate error), fall
+            // through so the accurate message is reported instead.
             std::snprintf(out->error, 256, "truncated record");
             return 1;
         }

@@ -531,7 +531,11 @@ extern "C" int64_t gd_pack_blocked(
 // ships to the device — the padded (group, cap) layout is rebuilt there
 // by a scatter, so the transfer carries R codes instead of groups * cap.
 // counts: int32[groups]. Arena-owned output.
-// Direct flat packer: emits the FLAT uint16 valid-code stream (group
+// Direct flat packer (TWIN of gd_pack_blocked below: the validation,
+// count merge, cap rounding and per-group stable-sort/tie-break logic
+// must stay byte-identical between the two — guarded by
+// tests/test_blocked_sweep.py::test_pack_flat_direct_matches_two_step
+// across three geometries): emits the FLAT uint16 valid-code stream (group
 // order, code-sorted within groups — byte-identical to gd_pack_blocked
 // followed by gd_pack_flat_u16) WITHOUT materializing the padded int32
 // arena at all. At chr1 scale the padded arena is ~1 GB of sentinel-

@@ -396,7 +396,9 @@ class BlockedWindowedMcpSolver(Solver):
                     start, end, n, W, B, L,
                     cap_multiple=chunk, cap_floor=cap_floor,
                 )
-            except OSError:  # native lib unavailable: two-step fallback
+            except (OSError, AttributeError):
+                # native lib unavailable, or a stale GD_BAMIO_SO override
+                # without the symbol: two-step fallback
                 flat_path = False
         if not flat_path:
             res = pack_blocked(

@@ -422,14 +422,14 @@ def test_pack_flat_direct_matches_two_step():
         pack_flat_u16,
     )
 
-    rng = np.random.default_rng(23)
-    for seed in range(3):
+    for seed, (W, B, L) in enumerate(
+        [(8, 128, 256), (16, 256, 256), (4, 64, 128)]
+    ):
         rng = np.random.default_rng(23 + seed)
         r = 20_000
         n = 50_000
         start = rng.integers(0, n - 300, r)
-        end = start + rng.integers(1, 250, r)
-        W, B, L = 8, 128, 256
+        end = start + rng.integers(1, min(250, L - 2), r)
         flat, counts, win, n_pad, cap, slots = pack_flat_direct(
             start, end, n, W, B, L, cap_multiple=128, cap_floor=256
         )
