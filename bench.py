@@ -79,7 +79,7 @@ def _orchestrate() -> None:
     last_fail = _fail_json("all bench attempts stalled (dev relay)")
     # first-run XLA compiles of the W=64 pipelines take minutes through the
     # relay compile helper (cached persistently per program afterwards)
-    attempts = [([], 1450), ([], 800), (["--cpu"], 300)]
+    attempts = [([], 1450), ([], 800), (["--cpu"], 400)]
     for extra, budget in attempts:
         try:
             proc = subprocess.run(
@@ -543,8 +543,11 @@ def main() -> None:
     # optional enrichment (watchdog publishes the headline if these stall)
     _trace("config4 BAM->BAM detail")
     RESULT["detail"]["config4_bam_to_bam"] = _config4_bam_detail(on_tpu)
-    _trace("config5 BAM->BAM detail")
-    RESULT["detail"]["config5_bam_to_bam"] = _config5_bam_detail(on_tpu)
+    if on_tpu:
+        # skipped in the --cpu last-resort attempt: a host-only config-5
+        # pass alone costs ~5 minutes and would blow that attempt's budget
+        _trace("config5 BAM->BAM detail")
+        RESULT["detail"]["config5_bam_to_bam"] = _config5_bam_detail(True)
     _trace("config1 BAM->BAM detail")
     RESULT["detail"]["config1_bam_to_bam"] = _config1_bam_detail(on_tpu)
     if on_tpu:
