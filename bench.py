@@ -17,9 +17,11 @@ OR-Tools min-cost-flow solvers are strictly slower than the greedy;
 BASELINE.md). Both paths produce the same minimum-count selection; the
 assert enforces it.
 
-detail carries the config-1 (reference's largest exercised workload,
-``/root/reference/src/tests/coverage_tester.cpp:120-135``) BAM -> BAM
-wall time on a real synthesized coordinate-sorted BAM — parse, solve,
+detail carries BAM -> BAM wall times on real synthesized
+coordinate-sorted BAMs at config-1 (the reference's largest exercised
+workload, ``/root/reference/src/tests/coverage_tester.cpp:120-135``),
+config-4 (10M reads / 5 Mb) and config-5 (100M reads / 250 Mb, cached
+1.2 GB input) — parse, solve,
 pairing, and the re-stream write on both device and host paths (honest
 small-scale accounting: at 2M reads / 30 kb the problem is I/O-bound and
 a C++ loop finishes in ~50 ms, so the device cannot win there; the win is
